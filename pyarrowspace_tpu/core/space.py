@@ -1,0 +1,211 @@
+"""ArrowSpace — the built index: item data, per-item synthetic lambdas, and
+the stored feature-space spectral state used to score queries.
+
+API parity with the reference's `PyArrowSpace` wrapper (reference
+src/lib.rs:64-263): builder-only construction; `nitems`, `nfeatures`,
+`get_item(idx) -> (np.ndarray float64, float)`, `lambdas() -> np.ndarray`,
+`search(query, gl, tau)`, `search_hybrid(query, gl, tau)`,
+`search_energy(query, gl, k, w_lambda=None, w_dirichlet=None)` — all returning
+lists of (index, score) sorted by descending score.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .laplacian import GraphLaplacian
+from .params import GraphParams, TauMode
+from ..ops import search as search_ops
+from ..ops.distance import unit_normalize
+from ..ops.rayleigh import rayleigh_batch, dispersion_batch
+from ..spectral.taumode import synthesize
+from ..utils.debug import dbg_println
+
+_BUILDER_TOKEN = object()
+
+
+class ArrowItem:
+    """A single (features, lambda) pair (reference core::ArrowItem)."""
+
+    __slots__ = ("item", "lambda_")
+
+    def __init__(self, item: np.ndarray, lambda_: float):
+        self.item = np.asarray(item, dtype=np.float64)
+        self.lambda_ = float(lambda_)
+
+
+class ArrowSpace:
+    def __init__(self, *args, **kwargs):
+        # Parity: reference src/lib.rs:71-76 rejects direct construction.
+        if kwargs.get("_token") is not _BUILDER_TOKEN:
+            raise ValueError(
+                "ArrowSpace cannot be constructed directly; "
+                "use ArrowSpaceBuilder.build"
+            )
+        self._data: jnp.ndarray = kwargs["data"]          # [N, F] stored items
+        self._data_unit: jnp.ndarray = kwargs["data_unit"]  # [N, F] unit rows
+        self._lambdas: jnp.ndarray = kwargs["lambdas"]    # [N]
+        self._e_raw: jnp.ndarray = kwargs["e_raw"]        # [N] Dirichlet energy
+        self._lap_f: jnp.ndarray = kwargs["lap_f"]        # [F, F] feature Lap.
+        self._w_f: jnp.ndarray = kwargs["w_f"]            # [F, F] feature wts
+        self._tau_star: jnp.ndarray = kwargs["tau_star"]  # scalar
+        self._params: GraphParams = kwargs["params"]
+        self._rayleigh_normalized: bool = kwargs.get("rayleigh_normalized",
+                                                     False)
+        from ..spectral.taumode import TAU_MIX
+        self._tau_mix: float = kwargs.get("tau_mix", TAU_MIX)
+        # Optional reduction / energy artifacts (set by the energy builder).
+        self._centroids: Optional[jnp.ndarray] = kwargs.get("centroids")
+        self._assignments: Optional[jnp.ndarray] = kwargs.get("assignments")
+
+    @classmethod
+    def _from_build(cls, **kwargs) -> "ArrowSpace":
+        return cls(_token=_BUILDER_TOKEN, **kwargs)
+
+    # -- reference API --------------------------------------------------------
+    @property
+    def nitems(self) -> int:
+        return int(self._data.shape[0])
+
+    @property
+    def nfeatures(self) -> int:
+        return int(self._data.shape[1])
+
+    def get_item(self, idx: int) -> tuple[np.ndarray, float]:
+        """(features float64, lambda) for item idx
+        (parity: reference src/lib.rs:100-124, ValueError on out-of-range)."""
+        if idx >= self.nitems or idx < 0:
+            raise ValueError(f"index {idx} out of range [0, {self.nitems})")
+        feats = np.asarray(self._data[idx], dtype=np.float64)
+        return feats, float(self._lambdas[idx])
+
+    def lambdas(self) -> np.ndarray:
+        """Per-item synthetic lambdas as float64 (reference lib.rs:126-128)."""
+        return np.asarray(self._lambdas, dtype=np.float64)
+
+    def prepare_query_item(self, query: jnp.ndarray,
+                           gl: GraphLaplacian) -> float:
+        """Synthetic lambda of a query vector against the stored feature
+        Laplacian (reference engine `prepare_query_item`; math TAUMODE.md)."""
+        q = jnp.asarray(query, dtype=self._data.dtype).reshape(1, -1)
+        e_un = rayleigh_batch(q, self._lap_f, normalized=False)
+        e_raw = e_un
+        if self._rayleigh_normalized:
+            e_raw = rayleigh_batch(q, self._lap_f, normalized=True)
+        g = dispersion_batch(q, self._w_f, e_un)
+        lam = synthesize(e_raw, g, self._tau_star, self._tau_mix)
+        return float(lam[0])
+
+    def _check_query(self, query) -> np.ndarray:
+        v = np.asarray(query, dtype=np.float64).reshape(-1)
+        if v.shape[0] != self.nfeatures:
+            raise ValueError(
+                f"query length {v.shape[0]} must match nfeatures "
+                f"{self.nfeatures}")
+        return v
+
+    def search(self, query, gl: GraphLaplacian, tau: float
+               ) -> list[tuple[int, float]]:
+        """Lambda-aware search (parity: reference src/lib.rs:132-174).
+
+        Returns graph_params.topk results as (index, score) descending.
+        tau is the blend: score = tau*cos + (1-tau)*lambda-proximity.
+        """
+        v = self._check_query(query)
+        lam_q = self.prepare_query_item(v, gl)
+        # Loud-failure parity (reference lib.rs:156-159).
+        assert lam_q != 0.0, \
+            "The lambdas are zero, check the magnitude of items and eps."
+        dbg_println(f"search: qlen={v.shape[0]}, lambda_q={lam_q:.6f}")
+        topk = min(gl.params.topk, self.nitems)
+        q = jnp.asarray(v, dtype=self._data.dtype)
+        idx, vals = search_ops.lambda_aware_topk(
+            self._data_unit, self._lambdas, q,
+            jnp.asarray(lam_q, dtype=self._data.dtype),
+            jnp.asarray(tau, dtype=self._data.dtype), topk)
+        return [(int(i), float(s)) for i, s in zip(np.asarray(idx),
+                                                   np.asarray(vals))]
+
+    def search_hybrid(self, query, gl: GraphLaplacian, tau: float
+                      ) -> list[tuple[int, float]]:
+        """Hybrid lambda-aware search (reference src/lib.rs:182-219; no
+        zero-lambda assert on this path, matching the reference)."""
+        v = self._check_query(query)
+        lam_q = self.prepare_query_item(v, gl)
+        dbg_println(f"search: qlen={v.shape[0]}, lambda_q={lam_q:.6f}")
+        topk = min(gl.params.topk, self.nitems)
+        q = jnp.asarray(v, dtype=self._data.dtype)
+        idx, vals = search_ops.hybrid_topk(
+            self._data_unit, self._lambdas, q,
+            jnp.asarray(lam_q, dtype=self._data.dtype),
+            jnp.asarray(tau, dtype=self._data.dtype), topk)
+        return [(int(i), float(s)) for i, s in zip(np.asarray(idx),
+                                                   np.asarray(vals))]
+
+    def search_energy(self, query, gl: GraphLaplacian, k: int,
+                      w_lambda: Optional[float] = None,
+                      w_dirichlet: Optional[float] = None
+                      ) -> list[tuple[int, float]]:
+        """Energy-only search, no cosine (parity: reference
+        src/lib.rs:221-262; defaults w_lambda=1.0, w_dirichlet=0.5)."""
+        v = self._check_query(query)
+        w_l = 1.0 if w_lambda is None else float(w_lambda)
+        w_d = 0.5 if w_dirichlet is None else float(w_dirichlet)
+        dbg_println(
+            f"search_energy: qlen={v.shape[0]}, k={k}, w_λ={w_l:.2f}, "
+            f"w_D={w_d:.2f}")
+        q = jnp.asarray(v, dtype=self._data.dtype).reshape(1, -1)
+        e_q = rayleigh_batch(q, self._lap_f, normalized=False)
+        g_q = dispersion_batch(q, self._w_f, e_q)
+        lam_q = synthesize(
+            e_q if not self._rayleigh_normalized
+            else rayleigh_batch(q, self._lap_f, normalized=True),
+            g_q, self._tau_star, self._tau_mix)
+        k_eff = min(int(k), self.nitems)
+        idx, vals = search_ops.energy_topk(
+            self._data, self._lambdas, self._e_raw, q[0], lam_q[0], e_q[0],
+            jnp.asarray(w_l, dtype=self._data.dtype),
+            jnp.asarray(w_d, dtype=self._data.dtype), k_eff)
+        return [(int(i), float(s)) for i, s in zip(np.asarray(idx),
+                                                   np.asarray(vals))]
+
+    # -- TPU-native extras ----------------------------------------------------
+    def search_batch(self, queries, gl: GraphLaplacian, tau: float,
+                     topk: Optional[int] = None):
+        """Batched lambda-aware search: queries [Q, F] ->
+        (indices [Q, topk] np.int32, scores [Q, topk] np.float32/64).
+        The high-QPS serving path (BASELINE.json north-star)."""
+        q = jnp.asarray(queries, dtype=self._data.dtype)
+        if q.ndim != 2 or q.shape[1] != self.nfeatures:
+            raise ValueError(
+                f"queries must be [Q, {self.nfeatures}], got {q.shape}")
+        topk = gl.params.topk if topk is None else int(topk)
+        topk = min(topk, self.nitems)
+        e_un = rayleigh_batch(q, self._lap_f, normalized=False)
+        e_raw = (rayleigh_batch(q, self._lap_f, normalized=True)
+                 if self._rayleigh_normalized else e_un)
+        g = dispersion_batch(q, self._w_f, e_un)
+        lam_q = synthesize(e_raw, g, self._tau_star, self._tau_mix)
+        idx, vals = search_ops.lambda_aware_topk_batch(
+            self._data_unit, self._lambdas, q, lam_q,
+            jnp.asarray(tau, dtype=self._data.dtype), topk)
+        return np.asarray(idx), np.asarray(vals)
+
+    @property
+    def data(self) -> np.ndarray:
+        return np.asarray(self._data)
+
+    @property
+    def tau_star(self) -> float:
+        return float(self._tau_star)
+
+    @property
+    def feature_laplacian(self) -> np.ndarray:
+        return np.asarray(self._lap_f)
+
+    def __repr__(self) -> str:
+        return (f"ArrowSpace(nitems={self.nitems}, "
+                f"nfeatures={self.nfeatures}, tau_star={self.tau_star:.6g})")

@@ -1,0 +1,156 @@
+"""Standard index-build pipeline (reference call stack SURVEY.md §3.1).
+
+Stages, mirroring the reference engine's observed build stages
+(tests/output/1760705545_v0_16/suggested_eps.md:3-10) but mapped to TPU:
+
+  1. validate + ingest (NaN/Inf scan — reference src/helpers.rs:24-46)
+  2. unit-normalize items (graph is cosine-based; GRAPH_VARIABLES.md)
+  3. [optional] dims-reduction: sample -> TwoNN ID -> K-means centroids
+  4. exact eps/k-NN via tiled MXU matmuls + running top-k (never N x N)
+  5. symmetrize -> padded-ELL Laplacian
+  6. F x F feature-space spectral Laplacian from the signals matrix
+  7. per-item taumode lambda synthesis (Median tau by default)
+
+TPU-first deviation from the reference: the reference reduces the corpus
+before graph building because exact k-NN is too slow on CPU; on TPU the item
+graph is always built over the FULL corpus exactly (better recall at lower
+cost), and the reduction stage only feeds the feature-Laplacian signals
+matrix and downstream Energy/IVF consumers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.laplacian import GraphLaplacian
+from ..core.params import GraphParams
+from ..core.space import ArrowSpace
+from ..ops.distance import knn_graph_candidates, kernel_weights, unit_normalize
+from ..ops.rayleigh import dispersion_batch, rayleigh_batch
+from ..ops.symmetrize import symmetrize_to_ell
+from ..reduction import reduce_corpus
+from ..spectral.taumode import TAU_MIX, derive_tau_star, synthesize
+from ..utils.debug import dbg_println, phase, reset_phase_timings
+from .feature import build_feature_laplacian
+
+
+@dataclasses.dataclass(frozen=True)
+class BuildConfig:
+    """Engine-internal knobs (calibration surface; defaults are the behavior
+    that reproduces the reference's observed outputs — see tests)."""
+
+    # e_raw = x^T L x (False) vs x^T L x / x^T x (True).  False is required
+    # for the reference's observed magnitude sensitivity (see ops/rayleigh.py).
+    rayleigh_normalized: bool = False
+    # Mixing weight between bounded energy and dispersion; None -> the
+    # calibrated engine constant (spectral/taumode.py TAU_MIX).
+    tau_mix: Optional[float] = None
+    # Feature-graph k; None -> graph_params.topk (the calibrated policy,
+    # see graph/feature.py).
+    feature_k: Optional[int] = None
+    # Reduction only kicks in at this corpus size (tiny corpora keep full
+    # signals; the reference engine also skips its sampling path for toys).
+    reduction_min_n: int = 4096
+    # k-NN tiling.
+    block_rows: int = 1024
+    col_tile: int = 2048
+
+
+DEFAULT_BUILD_CONFIG = BuildConfig()
+
+
+def validate_items(items) -> np.ndarray:
+    """Ingest validation with reference-identical error text
+    (reference src/helpers.rs:24-46)."""
+    arr = np.asarray(items)
+    if arr.ndim != 2 or arr.shape[0] == 0 or arr.shape[1] == 0:
+        raise ValueError("items must be non-empty 2D array")
+    n, d = arr.shape
+    dbg_println(f"items shape: ({n}, {d})")
+    dbg_println(f"items[0][:5]: {list(np.asarray(arr[0][:5], dtype=float))}")
+    nan_cnt = int(np.isnan(arr).sum())
+    inf_cnt = int(np.isinf(arr).sum())
+    dbg_println(f"NaNs: {nan_cnt}, Infs: {inf_cnt}")
+    return arr
+
+
+def _pick_dtype(arr: np.ndarray) -> np.dtype:
+    """f64 end-to-end when x64 is enabled and the input is f64 (reference is
+    f64 end-to-end, src/helpers.rs:24); f32 otherwise (TPU fast path)."""
+    if arr.dtype == np.float64 and jax.config.jax_enable_x64:
+        return np.dtype(np.float64)
+    return np.dtype(np.float32)
+
+
+def build_standard(items, gp: GraphParams,
+                   config: BuildConfig = DEFAULT_BUILD_CONFIG
+                   ) -> tuple[ArrowSpace, GraphLaplacian]:
+    """Full standard build: (ArrowSpace, GraphLaplacian)."""
+    reset_phase_timings()
+    arr = validate_items(items)
+    dtype = _pick_dtype(arr)
+    x = jnp.asarray(arr, dtype=dtype)
+    n, f = x.shape
+    sigma = gp.sigma_resolved
+    dbg_println(
+        f"Build configuration: eps={gp.eps}, k={gp.k}, p={gp.p}, "
+        f"sigma={sigma}, normalise={str(gp.normalise).lower()}, "
+        f"synthesis={gp.synthesis.name.capitalize()}")
+
+    with phase("normalize"):
+        xu = unit_normalize(x)
+    stored = xu if gp.normalise else x
+
+    with phase("knn"):
+        d, i = knn_graph_candidates(
+            xu, gp.k, gp.eps,
+            block_rows=config.block_rows, col_tile=config.col_tile)
+
+    with phase("weights"):
+        w = kernel_weights(d, sigma, gp.p)
+        w = jnp.where(i >= 0, w, 0.0)
+
+    with phase("symmetrize"):
+        ell_width = min(2 * gp.k, max(n - 1, 1))
+        nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(
+            i, w, ell_width)
+    gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
+                                  n_dropped=int(n_dropped))
+
+    centroids = None
+    assignments = None
+    signals = stored
+    if gp.dims_reduction and n >= config.reduction_min_n:
+        with phase("reduction"):
+            red = reduce_corpus(stored, seed=gp.seed)
+            centroids, assignments = red.centroids, red.assignments
+            signals = centroids
+
+    with phase("feature_laplacian"):
+        k_f = config.feature_k if config.feature_k is not None else gp.topk
+        w_f, lap_f, _ = build_feature_laplacian(signals, k_f=k_f)
+
+    tau_mix = TAU_MIX if config.tau_mix is None else config.tau_mix
+    with phase("lambdas"):
+        e_un = rayleigh_batch(stored, lap_f, normalized=False)
+        e_raw = (rayleigh_batch(stored, lap_f, normalized=True)
+                 if config.rayleigh_normalized else e_un)
+        tau_star = derive_tau_star(e_raw, gp.synthesis, gp.tau_fixed)
+        g = dispersion_batch(stored, w_f, e_un)
+        lambdas = synthesize(e_raw, g, tau_star, tau_mix)
+        lambdas.block_until_ready()
+
+    aspace = ArrowSpace._from_build(
+        data=stored, data_unit=xu, lambdas=lambdas, e_raw=e_raw,
+        lap_f=lap_f, w_f=w_f, tau_star=tau_star, params=gp,
+        rayleigh_normalized=config.rayleigh_normalized, tau_mix=tau_mix,
+        centroids=centroids, assignments=assignments)
+    dbg_println(
+        f"built ArrowSpace: nitems={aspace.nitems}, "
+        f"nfeatures={aspace.nfeatures}, lambdas_len={aspace.nitems}")
+    return aspace, gl

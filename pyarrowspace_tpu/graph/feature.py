@@ -1,0 +1,70 @@
+"""Feature-space spectral Laplacian (F x F), dense.
+
+TPU-native equivalent of the reference engine's
+`GraphFactory::build_spectral_laplacian` (reference GRAPH_VARIABLES.md:17,44;
+TAUMODE.md: "a feature-space Laplacian L in R^{FxF} stored in ArrowSpace as
+signals").  F is at most a few thousand for embedding workloads, so the
+feature graph is built fully dense on the MXU: one Gram matmul over the
+signals matrix's columns, k-NN masking, symmetrization, L = D - W.
+
+The engine crate is closed-source, so the construction was calibrated against
+the reference's observable behavior (the four exact orderings pinned by
+tests/test_0.py — see tests/test_parity_test0.py).  The calibrated design:
+
+  * distance  : Euclidean between RAW feature columns of the signals matrix
+                (magnitude-sensitive, matching the reference's documented
+                coupling between item magnitude and lambda — lib.rs:156-159);
+  * adjacency : symmetrized k-NN with k_F = graph_params.topk, UNWEIGHTED
+                (binary) — the distance kernel w = 1/(1+(d/sigma)^p) applies
+                to the item graph only;
+  * Laplacian : L = D - W.
+
+Binary adjacency makes the whole lambda pipeline equivariant under uniform
+corpus scaling (k-NN column selection, bounded energy with median tau*, and
+dispersion are all scale-invariant), so the harness-side x12 / x100 embedding
+scalings the reference requires (test_2:154, test_3:190) are harmless here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("k_f",))
+def build_feature_laplacian(signals: jnp.ndarray, *, k_f: int):
+    """Build the dense F x F feature-graph adjacency and Laplacian.
+
+    Args:
+      signals: [M, F] signals matrix (stored items or reduction centroids,
+        in stored — not unit — scale); the graph is over its F columns.
+      k_f: per-column neighbor count (the reference-calibrated policy is
+        k_f = graph_params.topk).
+
+    Returns:
+      (w_f [F, F] symmetric binary adjacency, zero diagonal,
+       lap_f [F, F] = diag(deg) - w_f,
+       degrees [F])
+    """
+    m, f = signals.shape
+    cols = signals.T                                  # [F, M]
+    sq = jnp.sum(cols * cols, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+        cols, cols.T, preferred_element_type=signals.dtype)
+    d2 = jnp.maximum(d2, 0.0)
+    eye = jnp.eye(f, dtype=bool)
+    d2 = jnp.where(eye, jnp.inf, d2)                  # exclude self-loops
+
+    kk = max(1, min(k_f, f - 1))
+    _, nbr = jax.lax.top_k(-d2, kk)                   # [F, kk] nearest columns
+    mask = jnp.zeros((f, f), dtype=bool)
+    rows = jnp.broadcast_to(jnp.arange(f)[:, None], (f, kk))
+    mask = mask.at[rows.reshape(-1), nbr.reshape(-1)].set(True)
+    mask = mask | mask.T                              # symmetrize (union)
+
+    w_f = mask.astype(signals.dtype)
+    degrees = jnp.sum(w_f, axis=1)
+    lap_f = jnp.diag(degrees) - w_f
+    return w_f, lap_f, degrees

@@ -1,0 +1,138 @@
+"""Tiled exact rectified-cosine k-NN — the framework's hottest build kernel.
+
+TPU-native redesign of the reference engine's eps/k-NN signal-graph candidate
+search (reference behavior: GRAPH_VARIABLES.md — d(i,j) = 1 - max(0, cos),
+edges kept iff d <= eps, capped at the k nearest per node).  The reference
+does this with rayon CPU threads; here each row-block of the unit-normalized
+corpus is matmul'd against column tiles of the corpus on the MXU, and a
+running per-row top-k is maintained across column tiles with `lax.top_k`, so
+the N x N distance matrix is never materialized (SURVEY.md §7 step 2).
+
+Exactness matters: the reference is exact k-NN (no ANN), so parity means
+exact neighbor sets.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Sentinel distance for masked / filtered candidates.  Rectified-cosine
+# distances live in [0, 1], so 2.0 is strictly worse than any real edge.
+_INF_DIST = 2.0
+
+
+def unit_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-30) -> jnp.ndarray:
+    """Row-normalize to unit L2 norm; all-zero rows are left at zero
+    (they then have cosine 0 against everything => distance 1)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def _ceil_to(value: int, multiple: int) -> int:
+    return ((value + multiple - 1) // multiple) * multiple
+
+
+def _knn_row_block(xu_pad: jnp.ndarray, row_start: int, block_rows: int,
+                   k: int, eps: float, n_real: int, col_tile: int):
+    """Exact top-k nearest (smallest rectified-cosine distance) for one block
+    of rows against the whole corpus, scanning column tiles.
+
+    xu_pad: [N_pad, F] unit-normalized, zero-padded corpus.
+    Returns (dist [block_rows, k], idx [block_rows, k]); entries with
+    dist > eps or out-of-range are (inf-dist, -1)-masked by the caller.
+    """
+    n_pad, f = xu_pad.shape
+    n_tiles = n_pad // col_tile
+    rows = jax.lax.dynamic_slice(xu_pad, (row_start, 0), (block_rows, f))
+    row_ids = (row_start
+               + jnp.arange(block_rows, dtype=jnp.int32)[:, None])  # [B, 1]
+    row_ids = row_ids.astype(jnp.int32)
+
+    def scan_tile(carry, t):
+        best_d, best_i = carry  # [B, k] each
+        col_start = t * col_tile
+        cols = jax.lax.dynamic_slice(xu_pad, (col_start, 0), (col_tile, f))
+        # MXU: [B, F] @ [F, T] -> [B, T]
+        sims = jax.lax.dot_general(
+            rows, cols,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32
+            if rows.dtype != jnp.float64 else jnp.float64,
+        )
+        d = 1.0 - jnp.maximum(sims, 0.0)
+        col_ids = (col_start
+                   + jnp.arange(col_tile, dtype=jnp.int32)[None, :])  # [1, T]
+        col_ids = col_ids.astype(jnp.int32)
+        invalid = (col_ids == row_ids) | (col_ids >= n_real)  # self + padding
+        d = jnp.where(invalid, _INF_DIST, d)
+        # Merge the tile's candidates with the running best-k.
+        cand_d = jnp.concatenate([best_d, d], axis=1)            # [B, k+T]
+        cand_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(col_ids, d.shape)], axis=1)
+        neg_top, pos = jax.lax.top_k(-cand_d, k)                  # smallest-k
+        new_d = -neg_top
+        new_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (new_d, new_i), None
+
+    init = (
+        jnp.full((block_rows, k), _INF_DIST, dtype=xu_pad.dtype),
+        jnp.full((block_rows, k), -1, dtype=jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(scan_tile, init, jnp.arange(n_tiles))
+    # eps filter (reference: edges kept iff d <= eps, GRAPH_VARIABLES.md).
+    keep = best_d <= eps
+    best_d = jnp.where(keep, best_d, _INF_DIST)
+    best_i = jnp.where(keep, best_i, -1)
+    return best_d, best_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_rows", "col_tile", "n_real"))
+def _knn_all_blocks(xu_pad, *, k, block_rows, col_tile, n_real, eps):
+    n_pad = xu_pad.shape[0]
+    n_blocks = n_pad // block_rows
+
+    def do_block(b):
+        return _knn_row_block(
+            xu_pad, b * block_rows, block_rows, k, eps, n_real, col_tile)
+
+    d, i = jax.lax.map(do_block, jnp.arange(n_blocks))
+    return d.reshape(n_pad, k), i.reshape(n_pad, k)
+
+
+def knn_graph_candidates(xu: jnp.ndarray, k: int, eps: float,
+                         block_rows: int = 1024, col_tile: int = 2048):
+    """Exact eps-filtered k-NN over unit-normalized rows.
+
+    Returns (dist [N, k] float, idx [N, k] int32) sorted ascending by
+    distance per row; missing candidates marked (2.0, -1).
+
+    k is capped at N-1 internally but the output is always width-k
+    (padded) so downstream shapes stay static.
+    """
+    n, _ = xu.shape
+    k_eff = max(1, min(k, n - 1)) if n > 1 else 1
+    tile = min(col_tile, _ceil_to(n, 128))
+    block = min(block_rows, _ceil_to(n, 8))
+    n_pad = _ceil_to(max(n, max(tile, block)), int(np.lcm(tile, block)))
+    xu_pad = jnp.pad(xu, ((0, n_pad - n), (0, 0)))
+    d, i = _knn_all_blocks(
+        xu_pad, k=k_eff, block_rows=block, col_tile=tile, n_real=n,
+        eps=jnp.asarray(eps, dtype=xu.dtype))
+    d, i = d[:n], i[:n]
+    if k_eff < k:
+        d = jnp.pad(d, ((0, 0), (0, k - k_eff)), constant_values=_INF_DIST)
+        i = jnp.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return d, i
+
+
+def kernel_weights(dist: jnp.ndarray, sigma: float, p: float) -> jnp.ndarray:
+    """Edge-weight kernel w = 1 / (1 + (d / sigma)^p)
+    (reference GRAPH_VARIABLES.md:7-10)."""
+    sigma = jnp.maximum(jnp.asarray(sigma, dtype=dist.dtype), 1e-12)
+    return 1.0 / (1.0 + jnp.power(jnp.maximum(dist, 0.0) / sigma, p))

@@ -1,0 +1,90 @@
+"""Query-time scoring kernels.
+
+Lambda-aware ranking (reference TAUMODE.md:33, src/lib.rs:132-174):
+  score(q, i) = tau * cos(q, x_i) + (1 - tau) * 1 / (1 + |lambda_i - lambda_q|)
+with tau the blend control (tau = 1.0 -> pure cosine ranking).
+
+Energy-only ranking (reference src/lib.rs:221-262): no cosine — lambda
+proximity plus a Rayleigh-Dirichlet smoothness term, weighted by
+w_lambda / w_dirichlet.
+
+All kernels are single fused scans over the corpus: one [N,F] x [F] (or
+batched [N,F] x [F,Q]) matmul on the MXU, elementwise blend on the VPU, then
+`lax.top_k` — XLA fuses the blend into the matmul epilogue, which is the
+SURVEY.md §7 step-4 design (stream corpus tiles from HBM once).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .distance import unit_normalize
+
+
+@functools.partial(jax.jit, static_argnames=("topk",))
+def lambda_aware_topk(xu: jnp.ndarray, lambdas: jnp.ndarray, q: jnp.ndarray,
+                      lam_q: jnp.ndarray, tau: jnp.ndarray, topk: int):
+    """Top-k by tau-blended cosine + lambda-proximity (single query)."""
+    qn = unit_normalize(q)
+    cos = jnp.matmul(xu, qn, preferred_element_type=xu.dtype)
+    prox = 1.0 / (1.0 + jnp.abs(lambdas - lam_q))
+    score = tau * cos + (1.0 - tau) * prox
+    vals, idx = jax.lax.top_k(score, topk)
+    return idx, vals
+
+
+@functools.partial(jax.jit, static_argnames=("topk",))
+def lambda_aware_topk_batch(xu: jnp.ndarray, lambdas: jnp.ndarray,
+                            q_batch: jnp.ndarray, lam_q: jnp.ndarray,
+                            tau: jnp.ndarray, topk: int):
+    """Batched variant: q_batch [Q, F], lam_q [Q] -> (idx [Q, topk], vals)."""
+    qn = unit_normalize(q_batch, axis=-1)
+    cos = jnp.matmul(qn, xu.T, preferred_element_type=xu.dtype)  # [Q, N]
+    prox = 1.0 / (1.0 + jnp.abs(lambdas[None, :] - lam_q[:, None]))
+    score = tau * cos + (1.0 - tau) * prox
+    vals, idx = jax.lax.top_k(score, topk)
+    return idx, vals
+
+
+@functools.partial(jax.jit, static_argnames=("topk",))
+def hybrid_topk(xu: jnp.ndarray, lambdas: jnp.ndarray, q: jnp.ndarray,
+                lam_q: jnp.ndarray, tau: jnp.ndarray, topk: int):
+    """Hybrid ranking: multiplicative gate instead of an additive blend.
+
+    score = cos * (tau + (1 - tau) * prox) — cosine modulated by spectral
+    proximity; tau = 1.0 degenerates to pure cosine, like `search`.  The
+    reference exposes `search_lambda_aware_hybrid` without documenting or
+    testing its formula (reference src/lib.rs:182-219 — "exposed, undocumented,
+    untested" per SURVEY.md §3.2), so the gate is this framework's design;
+    it preserves the observed property that hybrid tracks cosine more closely
+    than the additive blend (BASELINE.md: hybrid nDCG 0.9948 vs taumode 0.9838).
+    """
+    qn = unit_normalize(q)
+    cos = jnp.matmul(xu, qn, preferred_element_type=xu.dtype)
+    prox = 1.0 / (1.0 + jnp.abs(lambdas - lam_q))
+    score = cos * (tau + (1.0 - tau) * prox)
+    vals, idx = jax.lax.top_k(score, topk)
+    return idx, vals
+
+
+@functools.partial(jax.jit, static_argnames=("topk",))
+def energy_topk(x: jnp.ndarray, lambdas: jnp.ndarray, e_raw: jnp.ndarray,
+                q: jnp.ndarray, lam_q: jnp.ndarray, e_q: jnp.ndarray,
+                w_lambda: jnp.ndarray, w_dirichlet: jnp.ndarray, topk: int):
+    """Energy-only ranking — no cosine (reference src/lib.rs:221-262).
+
+    score(q, i) = w_lambda * 1/(1 + |lambda_i - lambda_q|)
+                + w_dirichlet * 1/(1 + |e_i - e_q|)
+    where e is the raw Rayleigh-Dirichlet energy of the item/query against the
+    stored feature Laplacian.  (The reference engine's exact formula is
+    closed-source; this keeps its documented structure: "lambda proximity +
+    Rayleigh-Dirichlet smoothness", src/lib.rs:221-231.)
+    """
+    prox_l = 1.0 / (1.0 + jnp.abs(lambdas - lam_q))
+    prox_e = 1.0 / (1.0 + jnp.abs(e_raw - e_q))
+    score = w_lambda * prox_l + w_dirichlet * prox_e
+    vals, idx = jax.lax.top_k(score, topk)
+    return idx, vals

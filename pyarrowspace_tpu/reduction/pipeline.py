@@ -1,0 +1,141 @@
+"""Dims-reduction / sampling / clustering stage.
+
+Behavioral equivalent of the reference engine's reduction pipeline as
+reconstructed from its build logs (reference
+tests/output/1760705545_v0_16/suggested_eps.md:3-10 and SURVEY.md N10):
+
+  1. random sampling with ~60% keep rate (seeded; reference seed 42),
+  2. Two-NN intrinsic-dimension estimate (log line: "TwoNN ratio 1.3560 ->
+     ID=3" for 313k x 384),
+  3. auto-selection of a clustering K (log: "test K range [178, 179]"),
+  4. K-means clustering -> centroid "signals" matrix.
+
+The engine crate is closed-source, so K selection is behavior-level: the
+observed K for N=313k was ~178; we use K = clamp(round(sqrt(N_kept)/2.5),
+16, 512), which reproduces that order of magnitude (434/2.5 ≈ 174 for the
+313k corpus at 60% keep).  All stages are jitted JAX on-device; K-means is
+Lloyd's with k-means++-style seeded init, fixed iteration count (static
+shapes for XLA).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.debug import dbg_println
+
+SAMPLING_KEEP_RATE = 0.6  # observed in reference build logs (suggested_eps.md:6)
+
+
+@dataclasses.dataclass
+class ReductionResult:
+    centroids: jnp.ndarray       # [K, F]
+    assignments: jnp.ndarray     # [N] int32 cluster id per (full-corpus) item
+    intrinsic_dim: int
+    n_sampled: int
+    k_clusters: int
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _twonn_ratio(x: jnp.ndarray) -> jnp.ndarray:
+    """Mean log-ratio of 2nd to 1st nearest-neighbor Euclidean distances."""
+    sq = jnp.sum(x * x, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+        x, x.T, preferred_element_type=x.dtype)
+    d2 = jnp.maximum(d2, 0.0)
+    n = x.shape[0]
+    d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
+    neg2, _ = jax.lax.top_k(-d2, 2)              # two smallest squared dists
+    r1 = jnp.sqrt(jnp.maximum(-neg2[:, 0], 1e-30))
+    r2 = jnp.sqrt(jnp.maximum(-neg2[:, 1], 1e-30))
+    mu = jnp.maximum(r2 / jnp.maximum(r1, 1e-30), 1.0 + 1e-9)
+    return jnp.mean(jnp.log(mu))
+
+
+def twonn_intrinsic_dim(x: np.ndarray, seed: int = 42,
+                        max_points: int = 2048) -> tuple[int, float]:
+    """Two-NN intrinsic-dimension estimate (Facco et al.): ID ≈ 1 / E[log mu].
+
+    Subsamples to max_points for the O(n^2) pairwise step.
+    Returns (ID rounded to int >= 1, mean log ratio)."""
+    n = x.shape[0]
+    rng = np.random.default_rng(seed)
+    if n > max_points:
+        sel = rng.choice(n, size=max_points, replace=False)
+        x = x[sel]
+    mean_log_mu = float(_twonn_ratio(jnp.asarray(x)))
+    if mean_log_mu <= 1e-9:
+        return 1, mean_log_mu
+    dim = max(1, int(round(1.0 / mean_log_mu)))
+    return dim, mean_log_mu
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def _lloyd(x: jnp.ndarray, centroids: jnp.ndarray, n_iters: int):
+    """Fixed-iteration Lloyd's K-means; empty clusters keep their centroid."""
+    k = centroids.shape[0]
+
+    def assign(c):
+        d2 = (jnp.sum(x * x, axis=1)[:, None]
+              + jnp.sum(c * c, axis=1)[None, :]
+              - 2.0 * jnp.matmul(x, c.T, preferred_element_type=x.dtype))
+        return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    def step(c, _):
+        a = assign(c)
+        sums = jax.ops.segment_sum(x, a, num_segments=k)
+        cnts = jax.ops.segment_sum(jnp.ones((x.shape[0],), x.dtype), a,
+                                   num_segments=k)
+        new_c = jnp.where(cnts[:, None] > 0,
+                          sums / jnp.maximum(cnts[:, None], 1.0), c)
+        return new_c, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=n_iters)
+    return centroids, assign(centroids)
+
+
+def select_k(n_sampled: int, intrinsic_dim: int) -> int:
+    """Auto K heuristic calibrated to the reference's observed K≈178 for the
+    313k corpus (suggested_eps.md:7-10); behavior-level, not bit parity."""
+    del intrinsic_dim  # reserved for future refinement
+    return int(np.clip(round(math.sqrt(n_sampled) / 2.5), 16, 512))
+
+
+def reduce_corpus(x: np.ndarray | jnp.ndarray, seed: int = 42,
+                  keep_rate: float = SAMPLING_KEEP_RATE,
+                  k_clusters: int | None = None,
+                  n_iters: int = 12) -> ReductionResult:
+    """Run the full reduction stage; returns centroids over the sampled set
+    and assignments for the FULL corpus."""
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    rng = np.random.default_rng(seed)
+    n_keep = max(2, int(round(n * keep_rate)))
+    sel = np.sort(rng.choice(n, size=n_keep, replace=False))
+    xs = x[jnp.asarray(sel)]
+    dbg_println(f"reduction: raw-input saved; sampled {n_keep}/{n} "
+                f"(keep_rate={keep_rate})")
+
+    idim, mlm = twonn_intrinsic_dim(np.asarray(xs), seed=seed)
+    dbg_println(f"reduction: TwoNN mean-log-ratio={mlm:.4f} -> ID={idim}")
+
+    k = k_clusters if k_clusters is not None else select_k(n_keep, idim)
+    k = min(k, n_keep)
+    dbg_println(f"reduction: clustering K={k}")
+
+    init_sel = jnp.asarray(rng.choice(n_keep, size=k, replace=False))
+    centroids, _ = _lloyd(xs, xs[init_sel], n_iters)
+
+    # Assign the FULL corpus to the learned centroids.
+    d2 = (jnp.sum(x * x, axis=1)[:, None]
+          + jnp.sum(centroids * centroids, axis=1)[None, :]
+          - 2.0 * jnp.matmul(x, centroids.T, preferred_element_type=x.dtype))
+    assignments = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    return ReductionResult(centroids=centroids, assignments=assignments,
+                           intrinsic_dim=idim, n_sampled=n_keep, k_clusters=k)

@@ -1,0 +1,109 @@
+"""Graph-construction invariants and exactness (SURVEY.md §4: property tests
+for symmetry, PSD Laplacian, zero row sums; exact k-NN vs brute force)."""
+
+import numpy as np
+import pytest
+
+from pyarrowspace_tpu import ArrowSpaceBuilder
+from pyarrowspace_tpu.ops.distance import (kernel_weights,
+                                           knn_graph_candidates,
+                                           unit_normalize)
+
+import jax.numpy as jnp
+
+
+def brute_force_knn(x, k, eps):
+    """Reference implementation: rectified-cosine eps/k-NN per row."""
+    xu = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d = 1.0 - np.maximum(xu @ xu.T, 0.0)
+    np.fill_diagonal(d, np.inf)
+    out_i, out_d = [], []
+    for r in range(x.shape[0]):
+        order = np.argsort(d[r], kind="stable")[:k]
+        keep = d[r][order] <= eps
+        out_i.append(np.where(keep, order, -1))
+        out_d.append(np.where(keep, d[r][order], 2.0))
+    return np.array(out_d), np.array(out_i)
+
+
+@pytest.mark.parametrize("n,f,k,eps", [(37, 8, 5, 0.8), (200, 24, 10, 0.5),
+                                       (128, 16, 4, 1.5)])
+def test_knn_exact_vs_brute_force(n, f, k, eps):
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(n, f))
+    xu = unit_normalize(jnp.asarray(x))
+    d, i = knn_graph_candidates(xu, k, eps)
+    d, i = np.asarray(d), np.asarray(i)
+    bd, bi = brute_force_knn(x, k, eps)
+    # Distances must match exactly (same candidates); indices may differ only
+    # on exact ties.
+    np.testing.assert_allclose(np.sort(d, axis=1), np.sort(bd, axis=1),
+                               atol=1e-10)
+    # Neighbor SETS must match wherever distances are untied.
+    for r in range(n):
+        assert set(i[r][i[r] >= 0]) == set(bi[r][bi[r] >= 0]), r
+
+
+def test_laplacian_invariants():
+    rng = np.random.default_rng(3)
+    items = rng.normal(size=(64, 12)) + 0.5
+    gp = {"eps": 0.9, "k": 6, "topk": 4, "p": 2.0, "sigma": 0.3}
+    _, gl = ArrowSpaceBuilder.build(gp, items)
+    L = gl.to_dense()
+    # Symmetry.
+    np.testing.assert_allclose(L, L.T, atol=1e-12)
+    # Zero row sums.
+    np.testing.assert_allclose(L.sum(axis=1), 0.0, atol=1e-10)
+    # Off-diagonal non-positive; diagonal = degrees >= 0.
+    off = L - np.diag(np.diag(L))
+    assert np.all(off <= 1e-12)
+    assert np.all(np.diag(L) >= 0)
+    # PSD.
+    evals = np.linalg.eigvalsh(L)
+    assert evals.min() > -1e-8
+    # matvec agrees with dense.
+    v = rng.normal(size=L.shape[0])
+    np.testing.assert_allclose(np.asarray(gl.matvec(jnp.asarray(v))), L @ v,
+                               atol=1e-8)
+
+
+def test_eps_filters_edges():
+    """eps is the sparsity control: tiny eps -> no edges survive."""
+    rng = np.random.default_rng(5)
+    items = rng.normal(size=(32, 8))
+    gp = {"eps": 1e-9, "k": 6, "topk": 3, "p": 2.0, "sigma": None}
+    _, gl = ArrowSpaceBuilder.build(gp, items)
+    assert gl.nedges == 0
+    gp_loose = {"eps": 2.0, "k": 6, "topk": 3, "p": 2.0, "sigma": None}
+    _, gl2 = ArrowSpaceBuilder.build(gp_loose, items)
+    assert gl2.nedges > 0
+
+
+def test_k_caps_degree_before_symmetrization():
+    rng = np.random.default_rng(11)
+    items = rng.normal(size=(40, 6)) + 2.0  # positive-ish: dense cosine graph
+    k = 3
+    gp = {"eps": 1.0, "k": k, "topk": 3, "p": 2.0, "sigma": 0.5}
+    _, gl = ArrowSpaceBuilder.build(gp, items)
+    nbr = np.asarray(gl.neighbor_indices)
+    row_deg = (nbr >= 0).sum(axis=1)
+    # After union symmetrization degree can exceed k but is <= ELL width 2k.
+    assert row_deg.max() <= 2 * k
+    assert row_deg.min() >= 1
+
+
+def test_kernel_weights_form():
+    d = jnp.asarray([0.0, 0.1, 0.2, 1.0])
+    w = np.asarray(kernel_weights(d, sigma=0.1, p=2.0))
+    np.testing.assert_allclose(w, [1.0, 0.5, 1 / 5, 1 / 101], rtol=1e-6)
+
+
+def test_weight_symmetry_of_built_graph():
+    rng = np.random.default_rng(13)
+    items = rng.normal(size=(50, 10)) + 1.0
+    gp = {"eps": 0.8, "k": 5, "topk": 3, "p": 2.0, "sigma": 0.2}
+    _, gl = ArrowSpaceBuilder.build(gp, items)
+    W = -gl.to_dense()
+    np.fill_diagonal(W, 0.0)
+    np.testing.assert_allclose(W, W.T, atol=1e-12)
+    assert np.all(W >= 0)

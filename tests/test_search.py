@@ -1,0 +1,101 @@
+"""Search-path behavior: cosine degeneration at tau=1, blending, batching."""
+
+import numpy as np
+import pytest
+
+from pyarrowspace_tpu import ArrowSpaceBuilder
+
+GP = {"eps": 0.9, "k": 8, "topk": 10, "p": 2.0, "sigma": 0.3}
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(42)
+    items = rng.normal(size=(120, 24)) + 0.4
+    aspace, gl = ArrowSpaceBuilder.build(GP, items)
+    return aspace, gl, items
+
+
+def cosine_order(items, q, topk):
+    xu = items / np.linalg.norm(items, axis=1, keepdims=True)
+    qu = q / np.linalg.norm(q)
+    return list(np.argsort(-(xu @ qu), kind="stable")[:topk])
+
+
+def test_tau_one_is_pure_cosine(built):
+    aspace, gl, items = built
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        q = rng.normal(size=items.shape[1]) + 0.4
+        got = [i for i, _ in aspace.search(q, gl, 1.0)]
+        assert got == cosine_order(items, q, GP["topk"])
+
+
+def test_hybrid_tau_one_is_pure_cosine(built):
+    aspace, gl, items = built
+    q = items[3] * 1.2
+    got = [i for i, _ in aspace.search_hybrid(q, gl, 1.0)]
+    assert got == cosine_order(items, q, GP["topk"])
+
+
+def test_blend_changes_ranking(built):
+    """tau < 1 must actually use lambda proximity (rankings differ for some
+    query); guards against the blend silently degenerating to cosine."""
+    aspace, gl, items = built
+    rng = np.random.default_rng(2)
+    diffs = 0
+    for _ in range(10):
+        q = rng.normal(size=items.shape[1]) + 0.4
+        a = [i for i, _ in aspace.search(q, gl, 1.0)]
+        b = [i for i, _ in aspace.search(q, gl, 0.5)]
+        diffs += a != b
+    assert diffs > 0
+
+
+def test_score_formula(built):
+    """score = tau*cos + (1-tau)/(1+|lam_i - lam_q|) exactly
+    (reference TAUMODE.md:33)."""
+    aspace, gl, items = built
+    q = items[7] * 1.1
+    tau = 0.62
+    lam_q = aspace.prepare_query_item(q, gl)
+    lams = aspace.lambdas()
+    xu = items / np.linalg.norm(items, axis=1, keepdims=True)
+    cos = xu @ (q / np.linalg.norm(q))
+    expected = tau * cos + (1 - tau) / (1 + np.abs(lams - lam_q))
+    hits = aspace.search(q, gl, tau)
+    for i, s in hits:
+        assert s == pytest.approx(expected[i], rel=1e-6)
+
+
+def test_batch_matches_single(built):
+    aspace, gl, items = built
+    rng = np.random.default_rng(3)
+    queries = rng.normal(size=(6, items.shape[1])) + 0.4
+    idx, vals = aspace.search_batch(queries, gl, 0.7)
+    assert idx.shape == (6, GP["topk"])
+    for qi in range(6):
+        single = aspace.search(queries[qi], gl, 0.7)
+        assert list(idx[qi]) == [i for i, _ in single]
+        np.testing.assert_allclose(vals[qi], [s for _, s in single],
+                                   rtol=1e-6)
+
+
+def test_search_energy_returns_k(built):
+    aspace, gl, items = built
+    hits = aspace.search_energy(items[0], gl, 5)
+    assert len(hits) == 5
+    scores = [s for _, s in hits]
+    assert scores == sorted(scores, reverse=True)
+    # default weights parity: w_lambda=1.0, w_dirichlet=0.5
+    hits2 = aspace.search_energy(items[0], gl, 5, 1.0, 0.5)
+    assert hits == hits2
+
+
+def test_energy_search_self_retrieval(built):
+    """An exact stored item should rank itself (equal lambda and energy)
+    at the top under energy scoring."""
+    aspace, gl, items = built
+    for probe in (0, 11, 42):
+        hits = aspace.search_energy(items[probe], gl, 3)
+        assert hits[0][0] == probe
