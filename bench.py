@@ -1,0 +1,92 @@
+"""Headline benchmark: standard index build at the reference's flagship size.
+
+Reference anchor: arrowspace-rs v0.17 builds the 313,841 x 384 CVE corpus in
+744.07 s on a CPU workstation (BASELINE.md).  This benchmark builds a
+same-shape synthetic corpus (N(0,1) embeddings, x12 scaling like the CVE
+harness, identical graph params eps/k/topk/p/sigma to test_2) on one TPU
+chip and reports the steady-state build time.
+
+Prints ONE JSON line:
+  {"metric": "index_build_313k_s", "value": <seconds>,
+   "unit": "s", "vs_baseline": <speedup vs 744.07 s>}
+
+Env knobs: BENCH_N / BENCH_F (corpus size), BENCH_WARMUP=0 to skip the
+compile warm-up build, BENCH_QPS=1 to additionally print the serving QPS
+line (not the driver metric).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_BUILD_S = 744.07  # BASELINE.md: CVE 313,841 x 384, v0.17
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 313841))
+    f = int(os.environ.get("BENCH_F", 384))
+    # CVE harness graph params (reference tests/test_2_CVE_db.py:33-39).
+    gp = {"eps": 1.31, "k": 25, "topk": 15, "p": 2.0, "sigma": 0.535}
+
+    from pyarrowspace_tpu import ArrowSpaceBuilder, get_phase_timings
+
+    rng = np.random.default_rng(42)
+    items = (rng.standard_normal((n, f), dtype=np.float32) * 12.0)
+
+    def one_build():
+        t0 = time.perf_counter()
+        aspace, gl = ArrowSpaceBuilder.build(gp, items)
+        dt = time.perf_counter() - t0
+        return aspace, gl, dt
+
+    if os.environ.get("BENCH_WARMUP", "1") != "0":
+        # Warm-up build compiles every kernel at the benchmark shapes.
+        _, _, t_cold = one_build()
+        print(f"# warm-up (includes compile): {t_cold:.2f}s", file=sys.stderr)
+
+    aspace, gl, t_build = one_build()
+    print(f"# phases: { {k: round(v, 3) for k, v in get_phase_timings().items()} }",
+          file=sys.stderr)
+    print(f"# nnodes={gl.nnodes} nedges={gl.nedges} "
+          f"tau_star={aspace.tau_star:.6g}", file=sys.stderr)
+
+    if os.environ.get("BENCH_QPS", "0") == "1":
+        # Async-pipelined dispatch: issue all batches, sync once — measures
+        # device throughput, not host-device round-trip latency.
+        import jax.numpy as jnp
+        from pyarrowspace_tpu.ops.search import fused_query_pipeline
+
+        q_batch = int(os.environ.get("BENCH_QBATCH", 4096))
+        queries = jnp.asarray(items[:q_batch] * 1.01)
+        tau = jnp.asarray(0.62, dtype=queries.dtype)
+        args = dict(topk=gl.params.topk,
+                    rayleigh_normalized=aspace._rayleigh_normalized,
+                    tau_mix=aspace._tau_mix)
+        fused_query_pipeline(aspace._data_unit, aspace._lambdas,
+                             aspace._lap_f, aspace._w_f, aspace._tau_star,
+                             queries, tau, **args)[0].block_until_ready()
+        reps = 16
+        t0 = time.perf_counter()
+        outs = [fused_query_pipeline(
+                    aspace._data_unit, aspace._lambdas, aspace._lap_f,
+                    aspace._w_f, aspace._tau_star, queries, tau, **args)
+                for _ in range(reps)]
+        outs[-1][0].block_until_ready()
+        dt = time.perf_counter() - t0
+        qps = q_batch * reps / dt
+        print(f"# serving: {qps:,.0f} QPS (batch {q_batch}, N={n}, F={f})",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "index_build_313k_s",
+        "value": round(t_build, 3),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_BUILD_S / t_build, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -184,14 +184,12 @@ class ArrowSpace:
                 f"queries must be [Q, {self.nfeatures}], got {q.shape}")
         topk = gl.params.topk if topk is None else int(topk)
         topk = min(topk, self.nitems)
-        e_un = rayleigh_batch(q, self._lap_f, normalized=False)
-        e_raw = (rayleigh_batch(q, self._lap_f, normalized=True)
-                 if self._rayleigh_normalized else e_un)
-        g = dispersion_batch(q, self._w_f, e_un)
-        lam_q = synthesize(e_raw, g, self._tau_star, self._tau_mix)
-        idx, vals = search_ops.lambda_aware_topk_batch(
-            self._data_unit, self._lambdas, q, lam_q,
-            jnp.asarray(tau, dtype=self._data.dtype), topk)
+        # One fused dispatch: query-lambda synthesis + blended scan + top-k.
+        idx, vals = search_ops.fused_query_pipeline(
+            self._data_unit, self._lambdas, self._lap_f, self._w_f,
+            self._tau_star, q, jnp.asarray(tau, dtype=self._data.dtype),
+            topk=topk, rayleigh_normalized=self._rayleigh_normalized,
+            tau_mix=self._tau_mix)
         return np.asarray(idx), np.asarray(vals)
 
     @property

@@ -102,14 +102,19 @@ def build_standard(items, gp: GraphParams,
         f"sigma={sigma}, normalise={str(gp.normalise).lower()}, "
         f"synthesis={gp.synthesis.name.capitalize()}")
 
+    # Each phase ends with a device sync so the recorded timings attribute
+    # work to the stage that does it (dispatch is async otherwise); the
+    # pipeline is sequential, so the syncs cost nothing.
     with phase("normalize"):
         xu = unit_normalize(x)
+        xu.block_until_ready()
     stored = xu if gp.normalise else x
 
     with phase("knn"):
         d, i = knn_graph_candidates(
             xu, gp.k, gp.eps,
             block_rows=config.block_rows, col_tile=config.col_tile)
+        d.block_until_ready()
 
     with phase("weights"):
         w = kernel_weights(d, sigma, gp.p)
@@ -119,8 +124,9 @@ def build_standard(items, gp: GraphParams,
         ell_width = min(2 * gp.k, max(n - 1, 1))
         nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(
             i, w, ell_width)
+        n_dropped = int(n_dropped)
     gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
-                                  n_dropped=int(n_dropped))
+                                  n_dropped=n_dropped)
 
     centroids = None
     assignments = None

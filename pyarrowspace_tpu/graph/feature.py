@@ -34,6 +34,26 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("k_f",))
+def laplacian_from_sq_dists(d2: jnp.ndarray, *, k_f: int):
+    """Binary symmetrized k-NN Laplacian from a dense [F, F] squared-distance
+    matrix (shared by the single-chip and sharded build paths)."""
+    f = d2.shape[0]
+    eye = jnp.eye(f, dtype=bool)
+    d2 = jnp.where(eye, jnp.inf, d2)                  # exclude self-loops
+    kk = max(1, min(k_f, f - 1))
+    _, nbr = jax.lax.top_k(-d2, kk)                   # [F, kk] nearest columns
+    mask = jnp.zeros((f, f), dtype=bool)
+    rows = jnp.broadcast_to(jnp.arange(f)[:, None], (f, kk))
+    mask = mask.at[rows.reshape(-1), nbr.reshape(-1)].set(True)
+    mask = mask | mask.T                              # symmetrize (union)
+
+    w_f = mask.astype(d2.dtype)
+    degrees = jnp.sum(w_f, axis=1)
+    lap_f = jnp.diag(degrees) - w_f
+    return w_f, lap_f, degrees
+
+
+@functools.partial(jax.jit, static_argnames=("k_f",))
 def build_feature_laplacian(signals: jnp.ndarray, *, k_f: int):
     """Build the dense F x F feature-graph adjacency and Laplacian.
 
@@ -54,17 +74,4 @@ def build_feature_laplacian(signals: jnp.ndarray, *, k_f: int):
     d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
         cols, cols.T, preferred_element_type=signals.dtype)
     d2 = jnp.maximum(d2, 0.0)
-    eye = jnp.eye(f, dtype=bool)
-    d2 = jnp.where(eye, jnp.inf, d2)                  # exclude self-loops
-
-    kk = max(1, min(k_f, f - 1))
-    _, nbr = jax.lax.top_k(-d2, kk)                   # [F, kk] nearest columns
-    mask = jnp.zeros((f, f), dtype=bool)
-    rows = jnp.broadcast_to(jnp.arange(f)[:, None], (f, kk))
-    mask = mask.at[rows.reshape(-1), nbr.reshape(-1)].set(True)
-    mask = mask | mask.T                              # symmetrize (union)
-
-    w_f = mask.astype(signals.dtype)
-    degrees = jnp.sum(w_f, axis=1)
-    lap_f = jnp.diag(degrees) - w_f
-    return w_f, lap_f, degrees
+    return laplacian_from_sq_dists(d2, k_f=k_f)

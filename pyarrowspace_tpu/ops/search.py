@@ -49,6 +49,28 @@ def lambda_aware_topk_batch(xu: jnp.ndarray, lambdas: jnp.ndarray,
     return idx, vals
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("topk", "rayleigh_normalized", "tau_mix"))
+def fused_query_pipeline(xu: jnp.ndarray, lambdas: jnp.ndarray,
+                         lap_f: jnp.ndarray, w_f: jnp.ndarray,
+                         tau_star: jnp.ndarray, q_batch: jnp.ndarray,
+                         tau: jnp.ndarray, *, topk: int,
+                         rayleigh_normalized: bool, tau_mix: float):
+    """The full serving step in ONE compiled program: query lambda synthesis
+    (Rayleigh + dispersion against the stored feature Laplacian) fused with
+    the blended scan + top-k.  A single dispatch per batch — essential when
+    the host-device link has per-call latency (remote TPU tunnels)."""
+    from .rayleigh import dispersion_batch, rayleigh_batch
+    from ..spectral.taumode import synthesize
+
+    e_un = rayleigh_batch(q_batch, lap_f, normalized=False)
+    e_raw = (rayleigh_batch(q_batch, lap_f, normalized=True)
+             if rayleigh_normalized else e_un)
+    g = dispersion_batch(q_batch, w_f, e_un)
+    lam_q = synthesize(e_raw, g, tau_star, tau_mix)
+    return lambda_aware_topk_batch(xu, lambdas, q_batch, lam_q, tau, topk)
+
+
 @functools.partial(jax.jit, static_argnames=("topk",))
 def hybrid_topk(xu: jnp.ndarray, lambdas: jnp.ndarray, q: jnp.ndarray,
                 lam_q: jnp.ndarray, tau: jnp.ndarray, topk: int):

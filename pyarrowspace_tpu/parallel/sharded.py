@@ -1,0 +1,308 @@
+"""Multi-chip sharded build and search (shard_map over a 1-D data mesh).
+
+Design (SURVEY.md §7 step 6; BASELINE.json north-star):
+
+  * corpus rows shard across chips; each chip holds [N/d, F];
+  * cross-shard exact k-NN: corpus blocks ring-pass between chips with
+    `lax.ppermute` (ICI neighbor traffic only) while every chip keeps a
+    running per-row top-k over the visiting block's column tiles — the
+    SP/ring-attention analogue for similarity search (SURVEY.md §2.2);
+  * the F x F feature Laplacian needs the full column Gram: each chip
+    computes its partial X_l^T X_l and a `psum` over the data axis yields
+    the exact global Gram (one [F,F] collective, F <= a few thousand);
+  * per-item lambdas are computed shard-locally against the replicated
+    feature Laplacian; the median tau* uses an `all_gather` of the per-item
+    energies (N floats total);
+  * query serving: scores computed shard-locally, per-shard top-k, then one
+    `all_gather` of [topk] candidates per shard and a replicated final
+    top-k merge — per-query ICI traffic is d * topk entries, not N.
+
+Symmetrization runs replicated on the gathered [N, k] candidate lists: it is
+O(N k log(N k)) sort work, negligible next to the O(N^2 F / d) k-NN, and it
+keeps the exact-symmetry guarantee of ops/symmetrize.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.laplacian import GraphLaplacian
+from ..core.params import GraphParams
+from ..core.space import ArrowSpace
+from ..graph.build import BuildConfig, DEFAULT_BUILD_CONFIG, validate_items, \
+    _pick_dtype
+from ..graph.feature import laplacian_from_sq_dists
+from ..ops.distance import unit_normalize, kernel_weights
+from ..ops.rayleigh import dispersion_batch, rayleigh_batch
+from ..ops.symmetrize import symmetrize_to_ell
+from ..spectral.taumode import TAU_MIX, derive_tau_star, synthesize
+from ..utils.debug import dbg_println, phase
+from .mesh import DATA_AXIS, make_mesh
+
+_INF = 2.0
+
+
+def _ring_knn_local(xl: jnp.ndarray, k: int, eps, n_real: int, n_dev: int,
+                    col_tile: int):
+    """Per-shard body: exact top-k across all shards via ring passes."""
+    n_loc, f = xl.shape
+    my = jax.lax.axis_index(DATA_AXIS)
+    row_ids = (my * n_loc
+               + jnp.arange(n_loc, dtype=jnp.int32))[:, None]  # [L,1]
+
+    best_d = jax.lax.pcast(jnp.full((n_loc, k), _INF, dtype=xl.dtype),
+                           (DATA_AXIS,), to="varying")
+    best_i = jax.lax.pcast(jnp.full((n_loc, k), -1, dtype=jnp.int32),
+                           (DATA_AXIS,), to="varying")
+    n_tiles = n_loc // col_tile
+
+    def merge_block(carry, visiting, src):
+        bd, bi = carry
+
+        def tile_step(c, t):
+            bd, bi = c
+            cols = jax.lax.dynamic_slice(
+                visiting, (t * jnp.int32(col_tile), jnp.int32(0)),
+                (col_tile, f))
+            sims = jax.lax.dot_general(
+                xl, cols, (((1,), (1,)), ((), ())),
+                preferred_element_type=xl.dtype)
+            d = 1.0 - jnp.maximum(sims, 0.0)
+            col_ids = (src * n_loc + t * col_tile
+                       + jnp.arange(col_tile, dtype=jnp.int32))[None, :]
+            invalid = (col_ids == row_ids) | (col_ids >= n_real)
+            d = jnp.where(invalid | (d > eps), _INF, d)
+            cd = jnp.concatenate([bd, d], axis=1)
+            ci = jnp.concatenate(
+                [bi, jnp.broadcast_to(col_ids, d.shape)], axis=1)
+            neg, pos = jax.lax.top_k(-cd, k)
+            return (-neg, jnp.take_along_axis(ci, pos, axis=1)), None
+
+        (bd, bi), _ = jax.lax.scan(tile_step, (bd, bi),
+                                   jnp.arange(n_tiles, dtype=jnp.int32))
+        return bd, bi
+
+    visiting = xl
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    for s in range(n_dev):
+        src = (my + s) % n_dev
+        best_d, best_i = merge_block((best_d, best_i), visiting, src)
+        if s < n_dev - 1:
+            visiting = jax.lax.ppermute(visiting, DATA_AXIS, perm)
+    keep = best_d <= eps
+    return jnp.where(keep, best_d, _INF), jnp.where(keep, best_i, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_real", "n_dev", "col_tile", "mesh"))
+def _sharded_knn(xu_pad, *, k, eps, n_real, n_dev, col_tile, mesh):
+    fn = shard_map(
+        lambda xl: _ring_knn_local(xl, k, eps, n_real, n_dev, col_tile),
+        mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS))
+    return fn(xu_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _sharded_col_sq_dists(x_pad, *, mesh):
+    """Exact squared Euclidean distances between feature columns, computed
+    as a psum of per-shard partial Grams (padding rows are zero => exact)."""
+
+    def body(xl):
+        gram = jax.lax.dot_general(
+            xl, xl, (((0,), (0,)), ((), ())),
+            preferred_element_type=xl.dtype)          # [F, F] partial
+        gram = jax.lax.psum(gram, DATA_AXIS)
+        sq = jnp.diag(gram)
+        return jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * gram, 0.0)
+
+    fn = shard_map(body, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P())
+    return fn(x_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("n_real", "mesh",
+                                             "rayleigh_normalized"))
+def _sharded_lambdas(stored_pad, lap_f, w_f, *, n_real, mesh,
+                     rayleigh_normalized, tau_mix):
+    """Shard-local Rayleigh/dispersion; exact global median tau*."""
+
+    def body(xl, lap, wf):
+        e_un = rayleigh_batch(xl, lap, normalized=False)
+        e = (rayleigh_batch(xl, lap, normalized=True)
+             if rayleigh_normalized else e_un)
+        g = dispersion_batch(xl, wf, e_un)
+        e_all = jax.lax.all_gather(e, DATA_AXIS, tiled=True)   # [N_pad]
+        # Exact median over the first n_real entries (padding sorts last).
+        mask = jnp.arange(e_all.shape[0]) < n_real
+        e_sorted = jnp.sort(jnp.where(mask, e_all, jnp.inf))
+        lo = e_sorted[(n_real - 1) // 2]
+        hi = e_sorted[n_real // 2]
+        tau_star = jnp.maximum(0.5 * (lo + hi), 1e-10)
+        lam = synthesize(e, g, tau_star, tau_mix)
+        return lam, e, tau_star
+
+    # tau_star is computed identically on every shard from the all_gather'd
+    # energies; the static checker can't infer that, hence check_vma=False.
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(DATA_AXIS), P(), P()),
+                   out_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+                   check_vma=False)
+    return fn(stored_pad, lap_f, w_f)
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "mesh"))
+def _sharded_search(xu_pad, lambdas_pad, q, lam_q, tau, *, topk, mesh):
+    """Batched lambda-aware search over the sharded corpus."""
+
+    def body(xl, ll, qb, lq):
+        n_loc = xl.shape[0]
+        my = jax.lax.axis_index(DATA_AXIS)
+        qn = unit_normalize(qb, axis=-1)
+        cos = jax.lax.dot_general(qn, xl, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=xl.dtype)  # [Q,L]
+        prox = 1.0 / (1.0 + jnp.abs(ll[None, :] - lq[:, None]))
+        score = tau * cos + (1.0 - tau) * prox
+        vals, idx = jax.lax.top_k(score, topk)                      # [Q,topk]
+        gidx = my * n_loc + idx.astype(jnp.int32)
+        all_vals = jax.lax.all_gather(vals, DATA_AXIS)   # [d, Q, topk]
+        all_idx = jax.lax.all_gather(gidx, DATA_AXIS)
+        d = all_vals.shape[0]
+        merged_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(
+            qb.shape[0], d * topk)
+        merged_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(
+            qb.shape[0], d * topk)
+        fv, fpos = jax.lax.top_k(merged_v, topk)
+        fi = jnp.take_along_axis(merged_i, fpos, axis=1)
+        return fi, fv
+
+    # The final merge is computed identically on every shard from the
+    # all_gather'd candidates — replicated by construction (check_vma can't
+    # infer that).
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+                   out_specs=(P(), P()), check_vma=False)
+    return fn(xu_pad, lambdas_pad, q, lam_q)
+
+
+class ShardedArrowSpace:
+    """Multi-chip ArrowSpace: row-sharded corpus + replicated spectral state.
+
+    Provides the serving path (`search_batch`) and interoperates with the
+    single-chip ArrowSpace for everything else via `.to_local()`.
+    """
+
+    def __init__(self, mesh: Mesh, xu_pad, stored_pad, lambdas_pad, e_pad,
+                 lap_f, w_f, tau_star, params: GraphParams, n_real: int,
+                 tau_mix: float = TAU_MIX):
+        self.mesh = mesh
+        self._xu_pad = xu_pad
+        self._stored_pad = stored_pad
+        self._lambdas_pad = lambdas_pad
+        self._e_pad = e_pad
+        self._lap_f = lap_f
+        self._w_f = w_f
+        self._tau_star = tau_star
+        self._params = params
+        self._n_real = n_real
+        self._tau_mix = tau_mix
+
+    @property
+    def nitems(self) -> int:
+        return self._n_real
+
+    @property
+    def nfeatures(self) -> int:
+        return int(self._stored_pad.shape[1])
+
+    def lambdas(self) -> np.ndarray:
+        return np.asarray(self._lambdas_pad)[: self._n_real].astype(
+            np.float64)
+
+    @property
+    def tau_star(self) -> float:
+        return float(self._tau_star)
+
+    def prepare_queries(self, queries) -> jnp.ndarray:
+        q = jnp.asarray(queries, dtype=self._stored_pad.dtype)
+        e_un = rayleigh_batch(q, self._lap_f, normalized=False)
+        g = dispersion_batch(q, self._w_f, e_un)
+        return synthesize(e_un, g, self._tau_star, self._tau_mix)
+
+    def search_batch(self, queries, tau: float, topk: Optional[int] = None):
+        """(indices [Q, topk], scores [Q, topk]) — the multi-chip serving
+        path; per-query cross-chip traffic is d*topk candidates."""
+        q = jnp.asarray(queries, dtype=self._stored_pad.dtype)
+        topk = self._params.topk if topk is None else int(topk)
+        topk = min(topk, self._n_real)
+        lam_q = self.prepare_queries(q)
+        idx, vals = _sharded_search(
+            self._xu_pad, self._lambdas_pad, q, lam_q,
+            jnp.asarray(tau, dtype=q.dtype), topk=topk, mesh=self.mesh)
+        return np.asarray(idx), np.asarray(vals)
+
+
+def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
+                  config: BuildConfig = DEFAULT_BUILD_CONFIG
+                  ) -> tuple[ShardedArrowSpace, GraphLaplacian]:
+    """Multi-chip standard build; numerically identical to the single-chip
+    pipeline (exact k-NN, exact Gram, exact median)."""
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    arr = validate_items(items)
+    dtype = _pick_dtype(arr)
+    x = jnp.asarray(arr, dtype=dtype)
+    n, f = x.shape
+    sigma = gp.sigma_resolved
+
+    # Pad rows so each shard gets an equal, tile-aligned block.
+    col_tile = 128 if n < 8192 else config.col_tile
+    block = n_dev * col_tile
+    n_pad = ((n + block - 1) // block) * block
+    x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    row_shard = NamedSharding(mesh, P(DATA_AXIS))
+    x_pad = jax.device_put(x_pad, row_shard)
+    xu_pad = unit_normalize(x_pad)
+    stored_pad = xu_pad if gp.normalise else x_pad
+
+    k_eff = max(1, min(gp.k, n - 1))
+    with phase("sharded_knn"):
+        d, i = _sharded_knn(xu_pad, k=k_eff,
+                            eps=jnp.asarray(gp.eps, dtype=dtype),
+                            n_real=n, n_dev=n_dev, col_tile=col_tile,
+                            mesh=mesh)
+        d, i = d[:n], i[:n]
+
+    with phase("sharded_symmetrize"):
+        w = kernel_weights(d, sigma, gp.p)
+        w = jnp.where(i >= 0, w, 0.0)
+        ell_width = min(2 * gp.k, max(n - 1, 1))
+        nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(i, w,
+                                                               ell_width)
+    gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
+                                  n_dropped=int(n_dropped))
+
+    with phase("sharded_feature_laplacian"):
+        d2_cols = _sharded_col_sq_dists(stored_pad, mesh=mesh)
+        k_f = config.feature_k if config.feature_k is not None else gp.topk
+        w_f, lap_f, _ = laplacian_from_sq_dists(d2_cols, k_f=k_f)
+
+    tau_mix = TAU_MIX if config.tau_mix is None else config.tau_mix
+    with phase("sharded_lambdas"):
+        lambdas_pad, e_pad, tau_star = _sharded_lambdas(
+            stored_pad, lap_f, w_f, n_real=n, mesh=mesh,
+            rayleigh_normalized=config.rayleigh_normalized,
+            tau_mix=tau_mix)
+
+    dbg_println(f"sharded build: n={n} over {n_dev} devices, "
+                f"tau_star={float(tau_star):.6g}")
+    sspace = ShardedArrowSpace(mesh, xu_pad, stored_pad, lambdas_pad, e_pad,
+                               lap_f, w_f, tau_star, gp, n, tau_mix)
+    return sspace, gl

@@ -1,0 +1,68 @@
+"""EnergyMaps pipeline behavior (reference src/lib.rs:303-376; test_8/9
+protocol shape)."""
+
+import numpy as np
+import pytest
+
+from pyarrowspace_tpu import ArrowSpaceBuilder
+
+GP = {"eps": 1.31, "k": 10, "topk": 8, "p": 2.0, "sigma": 0.535}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=(20, 32))
+    items = np.repeat(base, 40, axis=0) + 0.2 * rng.normal(size=(800, 32))
+    return items * 12.0
+
+
+def test_energy_build_shapes(corpus):
+    aspace, gle = ArrowSpaceBuilder.build_energy(
+        corpus, {"optical_tokens": 30, "eta": 0.05, "steps": 4}, GP)
+    assert aspace.nitems == 800
+    assert len(aspace.lambdas()) == 800          # lambdas_len == nitems
+    # Nodes: optical_tokens + 2 per split centroid; split fraction is
+    # 1 - split_quantile (default 0.9) => ~3 splits of 30.
+    assert 30 <= gle.nnodes <= 3 * 30
+    assert gle.shape() == (gle.nnodes, gle.nnodes)
+
+
+def test_energy_compression_dominates(corpus):
+    """graph_nodes must be orders of magnitude below nitems (observed:
+    313,841 items -> 120 nodes in the reference)."""
+    _, gle = ArrowSpaceBuilder.build_energy(
+        corpus, {"optical_tokens": 25}, GP)
+    assert gle.nnodes < 100 < corpus.shape[0] * 12
+
+
+def test_energy_search_path(corpus):
+    aspace, gle = ArrowSpaceBuilder.build_energy(
+        corpus, {"optical_tokens": 30, "eta": 0.05, "steps": 4}, GP)
+    rng = np.random.default_rng(0)
+    q = corpus[100] + 0.05 * rng.normal(size=32)
+    hits = aspace.search_energy(q, gle, 20)
+    assert len(hits) == 20
+    scores = [s for _, s in hits]
+    assert scores == sorted(scores, reverse=True)
+    # default weight parity (w_lambda=1.0, w_dirichlet=0.5)
+    assert hits == aspace.search_energy(q, gle, 20, 1.0, 0.5)
+
+
+def test_oversmoothing_degrades_lambda_spread(corpus):
+    """Reference sweep: the largest eta x steps config is degenerate
+    (BASELINE.md worst config) — heavy diffusion must shrink the energy
+    spread of the node table vs light diffusion."""
+    a_light, _ = ArrowSpaceBuilder.build_energy(
+        corpus, {"optical_tokens": 30, "eta": 0.05, "steps": 2}, GP)
+    a_heavy, _ = ArrowSpaceBuilder.build_energy(
+        corpus, {"optical_tokens": 30, "eta": 0.25, "steps": 8}, GP)
+    light_spread = np.std(np.asarray(a_light._energy_maps.node_dirichlet))
+    heavy_spread = np.std(np.asarray(a_heavy._energy_maps.node_dirichlet))
+    assert heavy_spread < light_spread
+
+
+def test_energy_defaults_without_params(corpus):
+    aspace, gle = ArrowSpaceBuilder.build_energy(corpus[:200])
+    assert aspace.nitems == 200
+    assert gle.nnodes >= 2

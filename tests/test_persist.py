@@ -1,0 +1,48 @@
+"""Index save/load round-trip (checkpoint/resume — SURVEY.md §5 gap fill)."""
+
+import numpy as np
+import pytest
+
+from pyarrowspace_tpu import ArrowSpaceBuilder
+from pyarrowspace_tpu.io import load_index, save_index
+
+GP = {"eps": 0.9, "k": 6, "topk": 5, "p": 2.0, "sigma": 0.3}
+
+
+def test_roundtrip(tmp_path):
+    rng = np.random.default_rng(17)
+    items = rng.normal(size=(60, 12)) + 0.3
+    aspace, gl = ArrowSpaceBuilder.build(GP, items)
+    path = str(tmp_path / "index.npz")
+    save_index(path, aspace, gl)
+
+    a2, gl2 = load_index(path)
+    assert a2.nitems == aspace.nitems
+    assert a2.nfeatures == aspace.nfeatures
+    np.testing.assert_allclose(a2.lambdas(), aspace.lambdas())
+    np.testing.assert_allclose(gl2.to_dense(), gl.to_dense())
+    assert gl2.graph_params == gl.graph_params
+
+    q = items[3] * 1.07
+    assert a2.search(q, gl2, 0.62) == aspace.search(q, gl, 0.62)
+    assert a2.search_hybrid(q, gl2, 0.8) == aspace.search_hybrid(q, gl, 0.8)
+    assert (a2.search_energy(q, gl2, 5)
+            == aspace.search_energy(q, gl, 5))
+
+
+def test_version_check(tmp_path):
+    rng = np.random.default_rng(18)
+    items = rng.normal(size=(20, 8)) + 0.3
+    aspace, gl = ArrowSpaceBuilder.build(GP, items)
+    path = str(tmp_path / "index.npz")
+    save_index(path, aspace, gl)
+    # Corrupt the manifest version.
+    import json
+    z = dict(np.load(path))
+    m = json.loads(bytes(z["manifest"]).decode())
+    m["format_version"] = 999
+    z["manifest"] = np.frombuffer(json.dumps(m).encode(), dtype=np.uint8)
+    with open(path, "wb") as fh:
+        np.savez(fh, **z)
+    with pytest.raises(ValueError, match="unsupported index format"):
+        load_index(path)

@@ -1,0 +1,71 @@
+"""Multi-chip sharding parity on the virtual 8-device CPU mesh
+(SURVEY.md §4: fake-collectives / multi-device-CPU path)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pyarrowspace_tpu import ArrowSpaceBuilder
+from pyarrowspace_tpu.core.params import parse_graph_params
+from pyarrowspace_tpu.parallel import build_sharded, make_mesh
+
+GP_DICT = {"eps": 0.8, "k": 6, "topk": 9, "p": 2.0, "sigma": 0.3}
+
+
+@pytest.fixture(scope="module")
+def pair():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    rng = np.random.default_rng(0)
+    items = rng.normal(size=(333, 48)) + 0.3
+    mesh = make_mesh(8)
+    sharded = build_sharded(items, parse_graph_params(GP_DICT), mesh)
+    local = ArrowSpaceBuilder.build(GP_DICT, items)
+    return sharded, local, items
+
+
+def test_lambdas_identical(pair):
+    (sspace, _), (aspace, _), _ = pair
+    np.testing.assert_allclose(sspace.lambdas(), aspace.lambdas(), rtol=1e-8)
+    assert sspace.tau_star == pytest.approx(aspace.tau_star, rel=1e-10)
+
+
+def test_laplacian_identical(pair):
+    (_, sgl), (_, gl), _ = pair
+    np.testing.assert_allclose(sgl.to_dense(), gl.to_dense(), atol=1e-10)
+
+
+def test_search_identical(pair):
+    (sspace, _), (aspace, gl), items = pair
+    queries = items[:5] * 1.03
+    si, sv = sspace.search_batch(queries, 0.62)
+    ai, av = aspace.search_batch(queries, gl, 0.62)
+    assert np.array_equal(si, ai)
+    np.testing.assert_allclose(sv, av, rtol=1e-8)
+
+
+def test_mesh_sizes():
+    """The pipeline must work at several device counts (1, 2, 4, 8)."""
+    rng = np.random.default_rng(1)
+    items = rng.normal(size=(100, 16)) + 0.3
+    gp = parse_graph_params({"eps": 0.9, "k": 4, "topk": 5, "p": 2.0,
+                             "sigma": 0.3})
+    ref = None
+    for nd in (1, 2, 4, 8):
+        sspace, _ = build_sharded(items, gp, make_mesh(nd))
+        lams = sspace.lambdas()
+        if ref is None:
+            ref = lams
+        else:
+            np.testing.assert_allclose(lams, ref, rtol=1e-8)
+
+
+def test_graft_entry_contract():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    idx, vals = jax.jit(fn)(*args)
+    assert idx.shape == (16, 10)
+    g.dryrun_multichip(8)
