@@ -1,0 +1,80 @@
+"""Corpus end-to-end + tail analysis (port of tests/test_2_CVE_db.py):
+CVE-style graph {eps 1.31, k 25, topk 15, p 2, sigma 0.535}, x12 scaling,
+queries at tau {1.0, 0.8, 0.62}, Spearman/Kendall/nDCG vs the cosine
+ranking, tail head/tail-ratio + CV + decay, CSV export."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from benchmarks.protocols import (force_cpu_if_requested, out_dir, save_csv,
+                                  save_json, synthetic_duplicates, timed,
+                                  try_load_real_embeddings)
+
+force_cpu_if_requested()
+
+from pyarrowspace_tpu import ArrowSpaceBuilder
+from pyarrowspace_tpu.eval.ir import (ndcg_at_k, rank_agreement,
+                                      tail_analysis)
+
+TAUS = [1.0, 0.8, 0.62]    # reference test_2:26-28, 585-587
+GRAPH_PARAMS = {"eps": 1.31, "k": 25, "topk": 15, "p": 2.0, "sigma": 0.535}
+N_QUERIES = 3              # reference uses 3 CVE queries
+
+
+def main():
+    emb = try_load_real_embeddings("cve")
+    if emb is not None:
+        corpus = emb * 12.0
+    else:
+        corpus, _ = synthetic_duplicates(
+            n_groups=120, per_group=30, dim=384, noise=0.25, scaling=12.0)
+    print(f"corpus: {corpus.shape}")
+
+    (aspace, gl), t_build = timed(ArrowSpaceBuilder.build, GRAPH_PARAMS,
+                                  corpus)
+    print(f"Build time: {t_build:.2f}s  nnodes={gl.nnodes}")
+
+    rng = np.random.default_rng(2)
+    queries = corpus[rng.choice(corpus.shape[0], N_QUERIES, replace=False)]
+    queries = queries * 1.02
+
+    xu = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    rows, summary = [], {}
+    for qi, q in enumerate(queries):
+        cos_scores = xu @ (q / np.linalg.norm(q))
+        cos_rank = list(np.argsort(-cos_scores))
+        for tau in TAUS:
+            hits = aspace.search(q, gl, tau)
+            got = [i for i, _ in hits]
+            scores = [s for _, s in hits]
+            # nDCG vs the cosine ranking as reference relevance
+            # (reference style (b): cosine as nDCG reference, SURVEY §4).
+            rel = {d: 1.0 for d in cos_rank[:15]}
+            agree = rank_agreement(
+                [cos_scores[i] for i in got], scores)
+            tail = tail_analysis(sorted(cos_scores, reverse=True))
+            rows.append({
+                "query": qi, "tau": tau, "build_s": round(t_build, 2),
+                "ndcg_vs_cosine": round(ndcg_at_k(got, rel, 10), 4),
+                "spearman": round(agree["spearman"], 4),
+                "kendall": round(agree["kendall"], 4),
+                "tail_head_ratio": round(tail["tail_head_ratio"], 4),
+                "cv": round(tail["cv"], 4),
+            })
+            print(rows[-1])
+
+    d = out_dir("corpus_tail")
+    save_csv(d / "cve_summary.csv", rows)
+    summary = {"protocol": "corpus_tail (test_2 port)",
+               "build_time_s": t_build,
+               "mean_ndcg_vs_cosine_tau0.62": float(np.mean(
+                   [r["ndcg_vs_cosine"] for r in rows if r["tau"] == 0.62]))}
+    save_json(d / "test_results.json", summary)
+
+
+if __name__ == "__main__":
+    main()

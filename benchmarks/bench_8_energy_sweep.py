@@ -1,0 +1,91 @@
+"""EnergyMaps diffusion sweep (port of tests/test_8_CVE_db_sweep.py):
+eta {0.05, 0.15, 0.25} x steps {4, 6, 8}, OPTICAL_TOKENS=40; relevant set :=
+top-10 of a standard build; search_energy(k=20, w_l=1.0, w_D=0.5); MRR /
+MAP / recall / nDCG vs the standard baseline; per-config failure isolation;
+CSV grid."""
+
+import sys
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from benchmarks.protocols import (force_cpu_if_requested, out_dir, save_csv,
+                                  save_json, synthetic_duplicates, timed)
+
+force_cpu_if_requested()
+
+from pyarrowspace_tpu import ArrowSpaceBuilder
+from pyarrowspace_tpu.eval.ir import (average_precision, mrr, ndcg_at_k,
+                                      recall_at_k)
+
+ETAS = [0.05, 0.15, 0.25]    # reference test_8:30-32
+STEPS = [4, 6, 8]
+OPTICAL_TOKENS = 40
+GRAPH_PARAMS = {"eps": 1.31, "k": 25, "topk": 15, "p": 2.0, "sigma": 0.535}
+K_SEARCH = 20
+N_QUERIES = 15
+
+
+def run_sweep(corpus, etas=ETAS, steps_list=STEPS, n_queries=N_QUERIES):
+    # Standard-build top-10 defines the relevant set (reference test_8:237).
+    (aspace_std, gl_std), t_std = timed(ArrowSpaceBuilder.build,
+                                        GRAPH_PARAMS, corpus)
+    rng = np.random.default_rng(8)
+    qidx = rng.choice(corpus.shape[0], n_queries, replace=False)
+    queries = corpus[qidx] * 1.02
+    relevant = [set(i for i, _ in aspace_std.search(q, gl_std, 1.0)[:10])
+                for q in queries]
+
+    rows = []
+    for eta in etas:
+        for steps in steps_list:
+            cfg = {"optical_tokens": OPTICAL_TOKENS, "eta": eta,
+                   "steps": steps}
+            try:
+                (aspace_e, gl_e), t_e = timed(
+                    ArrowSpaceBuilder.build_energy, corpus, cfg,
+                    GRAPH_PARAMS)
+                mrrs, maps, recs, ndcgs = [], [], [], []
+                for q, rel in zip(queries, relevant):
+                    hits = [i for i, _ in aspace_e.search_energy(
+                        q, gl_e, K_SEARCH, 1.0, 0.5)]
+                    mrrs.append(mrr(hits, rel))
+                    maps.append(average_precision(hits, rel))
+                    recs.append(recall_at_k(hits, rel, 10))
+                    ndcgs.append(ndcg_at_k(hits, rel, 10))
+                rows.append({
+                    "eta": eta, "steps": steps, "status": "OK",
+                    "build_time_s": round(t_e, 2),
+                    "graph_nodes": gl_e.nnodes,
+                    "mrr": round(float(np.mean(mrrs)), 4),
+                    "map": round(float(np.mean(maps)), 4),
+                    "recall@10": round(float(np.mean(recs)), 4),
+                    "ndcg@10": round(float(np.mean(ndcgs)), 4),
+                })
+            except Exception as e:   # isolation (reference test_8:293-295)
+                rows.append({"eta": eta, "steps": steps, "status": "FAILED",
+                             "error": repr(e)})
+                traceback.print_exc()
+            print(rows[-1])
+    return rows, t_std
+
+
+def main():
+    corpus, _ = synthetic_duplicates(
+        n_groups=80, per_group=21, dim=384, noise=0.25, scaling=12.0)
+    print(f"corpus: {corpus.shape}")
+    rows, t_std = run_sweep(corpus)
+    d = out_dir("energy_sweep")
+    save_csv(d / "diffusion_sweep_results.csv", rows)
+    ok = [r for r in rows if r["status"] == "OK"]
+    best = max(ok, key=lambda r: r["mrr"]) if ok else None
+    save_json(d / "summary.json",
+              {"protocol": "energy_sweep (test_8 port)",
+               "standard_build_s": t_std, "best": best})
+
+
+if __name__ == "__main__":
+    main()

@@ -75,8 +75,12 @@ class GraphLaplacian:
 
     @property
     def nedges(self) -> int:
-        """Number of undirected edges kept in the symmetrized graph."""
-        return int(np.sum(np.asarray(self._nbr_idx) >= 0)) // 2
+        """Number of undirected edges kept in the symmetrized graph
+        (computed once, cached — used as a degeneracy guard per search)."""
+        if not hasattr(self, "_nedges_cache"):
+            self._nedges_cache = int(
+                np.sum(np.asarray(self._nbr_idx) >= 0)) // 2
+        return self._nedges_cache
 
     @property
     def n_dropped_edges(self) -> int:

@@ -116,8 +116,11 @@ class ArrowSpace:
         """
         v = self._check_query(query)
         lam_q = self.prepare_query_item(v, gl)
-        # Loud-failure parity (reference lib.rs:156-159).
-        assert lam_q != 0.0, \
+        # Loud-failure parity (reference lib.rs:156-159): degenerate query
+        # lambda OR a degenerate (edgeless) signal graph — the reference's
+        # observed collapse mode when eps/magnitude are mismatched
+        # (BASELINE.md cross-scale sweep failure rows) — aborts the search.
+        assert lam_q != 0.0 and gl.nedges > 0, \
             "The lambdas are zero, check the magnitude of items and eps."
         dbg_println(f"search: qlen={v.shape[0]}, lambda_q={lam_q:.6f}")
         topk = min(gl.params.topk, self.nitems)

@@ -51,6 +51,9 @@ from ..reduction import reduce_corpus
 from ..reduction.pipeline import select_k
 from ..spectral.taumode import TAU_MIX, derive_tau_star, synthesize
 from ..utils.debug import dbg_println, phase, reset_phase_timings
+from ..utils.logging import get_logger
+
+log = get_logger("energymaps")
 
 
 def _pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -150,7 +153,9 @@ def build_energy_maps(items, ep: EnergyParams, gp: GraphParams
         k0 = max(2, min(k0, n))
         red = reduce_corpus(stored, seed=gp.seed, k_clusters=k0)
         centroids, assignments = red.centroids, red.assignments
-    dbg_println(f"energy: compressed {n} items -> {k0} optical tokens")
+    msg = f"energy: compressed {n} items -> {k0} optical tokens"
+    dbg_println(msg)
+    log.debug(msg)
 
     # 2. Diffusion smoothing over the centroid graph.
     with phase("energy_diffuse"):

@@ -36,7 +36,10 @@ from ..ops.symmetrize import symmetrize_to_ell
 from ..reduction import reduce_corpus
 from ..spectral.taumode import TAU_MIX, derive_tau_star, synthesize
 from ..utils.debug import dbg_println, phase, reset_phase_timings
+from ..utils.logging import get_logger
 from .feature import build_feature_laplacian
+
+log = get_logger("builder")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,10 +100,12 @@ def build_standard(items, gp: GraphParams,
     x = jnp.asarray(arr, dtype=dtype)
     n, f = x.shape
     sigma = gp.sigma_resolved
-    dbg_println(
+    cfg_line = (
         f"Build configuration: eps={gp.eps}, k={gp.k}, p={gp.p}, "
         f"sigma={sigma}, normalise={str(gp.normalise).lower()}, "
         f"synthesis={gp.synthesis.name.capitalize()}")
+    dbg_println(cfg_line)
+    log.debug(cfg_line)
 
     # Each phase ends with a device sync so the recorded timings attribute
     # work to the stage that does it (dispatch is async otherwise); the

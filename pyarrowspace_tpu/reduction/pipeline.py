@@ -29,6 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.debug import dbg_println
+from ..utils.logging import get_logger
+
+log_sampling = get_logger("sampling")
+log_clustering = get_logger("clustering")
 
 SAMPLING_KEEP_RATE = 0.6  # observed in reference build logs (suggested_eps.md:6)
 
@@ -58,18 +62,21 @@ def _twonn_ratio(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.log(mu))
 
 
-def twonn_intrinsic_dim(x: np.ndarray, seed: int = 42,
+def twonn_intrinsic_dim(x, seed: int = 42,
                         max_points: int = 2048) -> tuple[int, float]:
     """Two-NN intrinsic-dimension estimate (Facco et al.): ID ≈ 1 / E[log mu].
 
-    Subsamples to max_points for the O(n^2) pairwise step.
+    Subsamples to max_points for the O(n^2) pairwise step.  Accepts numpy or
+    on-device arrays; the subsample gather runs device-side so the full
+    corpus never crosses the host-device link.
     Returns (ID rounded to int >= 1, mean log ratio)."""
     n = x.shape[0]
     rng = np.random.default_rng(seed)
+    x = jnp.asarray(x)
     if n > max_points:
-        sel = rng.choice(n, size=max_points, replace=False)
+        sel = jnp.asarray(rng.choice(n, size=max_points, replace=False))
         x = x[sel]
-    mean_log_mu = float(_twonn_ratio(jnp.asarray(x)))
+    mean_log_mu = float(_twonn_ratio(x))
     if mean_log_mu <= 1e-9:
         return 1, mean_log_mu
     dim = max(1, int(round(1.0 / mean_log_mu)))
@@ -119,15 +126,21 @@ def reduce_corpus(x: np.ndarray | jnp.ndarray, seed: int = 42,
     n_keep = max(2, int(round(n * keep_rate)))
     sel = np.sort(rng.choice(n, size=n_keep, replace=False))
     xs = x[jnp.asarray(sel)]
-    dbg_println(f"reduction: raw-input saved; sampled {n_keep}/{n} "
-                f"(keep_rate={keep_rate})")
+    msg = (f"reduction: raw-input saved; sampled {n_keep}/{n} "
+           f"(keep_rate={keep_rate})")
+    dbg_println(msg)
+    log_sampling.debug(msg)
 
-    idim, mlm = twonn_intrinsic_dim(np.asarray(xs), seed=seed)
-    dbg_println(f"reduction: TwoNN mean-log-ratio={mlm:.4f} -> ID={idim}")
+    idim, mlm = twonn_intrinsic_dim(xs, seed=seed)
+    msg = f"reduction: TwoNN mean-log-ratio={mlm:.4f} -> ID={idim}"
+    dbg_println(msg)
+    log_clustering.debug(msg)
 
     k = k_clusters if k_clusters is not None else select_k(n_keep, idim)
     k = min(k, n_keep)
-    dbg_println(f"reduction: clustering K={k}")
+    msg = f"reduction: clustering K={k}"
+    dbg_println(msg)
+    log_clustering.debug(msg)
 
     init_sel = jnp.asarray(rng.choice(n_keep, size=k, replace=False))
     centroids, _ = _lloyd(xs, xs[init_sel], n_iters)

@@ -129,3 +129,14 @@ def test_search_returns_topk_descending():
     scores = [s for _, s in hits]
     assert scores == sorted(scores, reverse=True)
     assert all(isinstance(i, int) for i, _ in hits)
+
+
+def test_degenerate_graph_asserts_on_search():
+    """eps mismatched to the data (edgeless graph) must abort search loudly
+    (reference collapse behavior, BASELINE.md cross-scale failure rows)."""
+    rng = np.random.default_rng(31)
+    items = rng.normal(size=(30, 8))
+    gp = {"eps": 1e-9, "k": 5, "topk": 3, "p": 2.0, "sigma": None}
+    aspace, gl = ArrowSpaceBuilder.build(gp, items)
+    with pytest.raises(AssertionError, match="lambdas are zero"):
+        aspace.search(items[0], gl, 0.9)
