@@ -22,6 +22,18 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: first compiles of the large k-NN
+# programs take many minutes through the remote-compile tunnel; later runs
+# (including the driver's) reuse the artifacts.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+try:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 REFERENCE_BUILD_S = 744.07  # BASELINE.md: CVE 313,841 x 384, v0.17
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -168,6 +169,29 @@ class ArrowSpace:
             else rayleigh_batch(q, self._lap_f, normalized=True),
             g_q, self._tau_star, self._tau_mix)
         k_eff = min(int(k), self.nitems)
+        emaps = getattr(self, "_energy_maps", None)
+        if emaps is not None and self._assignments is not None:
+            # Candidate-pool routing (reference energy search uses a
+            # candidate_m pool, src/lib.rs:311-323): rank energy NODES by
+            # the blended energy distance, expand the best candidate_m
+            # nodes to their member items, score only those.
+            d_nodes = (w_l * jnp.abs(emaps.node_lambda - lam_q[0])
+                       + w_d * jnp.abs(emaps.node_dirichlet - e_q[0]))
+            m_pool = min(emaps.candidate_m, d_nodes.shape[0])
+            _, node_sel = jax.lax.top_k(-d_nodes, m_pool)
+            cent_sel = np.unique(np.asarray(emaps.node_centroid[node_sel]))
+            members = np.flatnonzero(
+                np.isin(np.asarray(self._assignments), cent_sel))
+            if members.size >= k_eff:
+                mem = jnp.asarray(members, dtype=jnp.int32)
+                prox_l = 1.0 / (1.0 + jnp.abs(self._lambdas[mem] - lam_q[0]))
+                prox_e = 1.0 / (1.0 + jnp.abs(self._e_raw[mem] - e_q[0]))
+                score = w_l * prox_l + w_d * prox_e
+                vals, pos = jax.lax.top_k(score, k_eff)
+                idx = mem[pos]
+                return [(int(i), float(s)) for i, s in zip(np.asarray(idx),
+                                                           np.asarray(vals))]
+            # Pool too small for k -> exact fallback below.
         idx, vals = search_ops.energy_topk(
             self._data, self._lambdas, self._e_raw, q[0], lam_q[0], e_q[0],
             jnp.asarray(w_l, dtype=self._data.dtype),
@@ -176,17 +200,57 @@ class ArrowSpace:
                                                    np.asarray(vals))]
 
     # -- TPU-native extras ----------------------------------------------------
+    def enable_ivf(self, n_clusters: Optional[int] = None,
+                   capacity_factor: float = 3.0):
+        """Build the IVF routing index for `search_batch(mode="ivf")`.
+
+        Reuses the reduction stage's centroids/assignments when the build
+        computed them; otherwise clusters now (seeded)."""
+        from ..ops.ivf import build_ivf
+
+        if self._centroids is None or n_clusters is not None:
+            from ..reduction import reduce_corpus
+            red = reduce_corpus(self._data, seed=self._params.seed,
+                                keep_rate=1.0, k_clusters=n_clusters)
+            self._centroids, self._assignments = (red.centroids,
+                                                  red.assignments)
+        self._ivf = build_ivf(self._centroids, self._assignments,
+                              self.nitems, capacity_factor)
+        return self._ivf
+
     def search_batch(self, queries, gl: GraphLaplacian, tau: float,
-                     topk: Optional[int] = None):
+                     topk: Optional[int] = None, mode: str = "exact",
+                     n_probe: int = 8):
         """Batched lambda-aware search: queries [Q, F] ->
         (indices [Q, topk] np.int32, scores [Q, topk] np.float32/64).
-        The high-QPS serving path (BASELINE.json north-star)."""
+        The high-QPS serving path (BASELINE.json north-star).
+
+        mode "exact" (default) scans the full corpus in one fused dispatch;
+        "ivf" routes through the n_probe nearest clusters (approximate,
+        O(K·F + n_probe·N/K·F) per query — call enable_ivf() first or it
+        is built on demand)."""
         q = jnp.asarray(queries, dtype=self._data.dtype)
         if q.ndim != 2 or q.shape[1] != self.nfeatures:
             raise ValueError(
                 f"queries must be [Q, {self.nfeatures}], got {q.shape}")
         topk = gl.params.topk if topk is None else int(topk)
         topk = min(topk, self.nitems)
+        if mode == "ivf":
+            from ..ops.ivf import ivf_lambda_search
+            from ..ops.distance import unit_normalize
+            if getattr(self, "_ivf", None) is None:
+                self.enable_ivf()
+            e_un = rayleigh_batch(q, self._lap_f, normalized=False)
+            e_raw = (rayleigh_batch(q, self._lap_f, normalized=True)
+                     if self._rayleigh_normalized else e_un)
+            g = dispersion_batch(q, self._w_f, e_un)
+            lam_q = synthesize(e_raw, g, self._tau_star, self._tau_mix)
+            idx, vals = ivf_lambda_search(
+                self._data_unit, self._lambdas, self._ivf,
+                unit_normalize(q), lam_q,
+                jnp.asarray(tau, dtype=self._data.dtype),
+                n_probe=n_probe, topk=topk)
+            return np.asarray(idx), np.asarray(vals)
         # One fused dispatch: query-lambda synthesis + blended scan + top-k.
         idx, vals = search_ops.fused_query_pipeline(
             self._data_unit, self._lambdas, self._lap_f, self._w_f,

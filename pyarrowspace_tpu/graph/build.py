@@ -62,6 +62,9 @@ class BuildConfig:
     # k-NN tiling.
     block_rows: int = 1024
     col_tile: int = 2048
+    # k-NN backend: "pallas" (fused MXU+select-k kernel, ops/pallas/knn.py),
+    # "xla" (lax.top_k per tile), or "auto" (pallas on TPU, xla elsewhere).
+    knn_backend: str = "auto"
 
 
 DEFAULT_BUILD_CONFIG = BuildConfig()
@@ -94,6 +97,18 @@ def build_standard(items, gp: GraphParams,
                    config: BuildConfig = DEFAULT_BUILD_CONFIG
                    ) -> tuple[ArrowSpace, GraphLaplacian]:
     """Full standard build: (ArrowSpace, GraphLaplacian)."""
+    import os
+    profile_dir = os.environ.get("ARROWSPACE_PROFILE")
+    if profile_dir:
+        from ..utils.debug import profile_trace
+        with profile_trace(profile_dir):
+            return _build_standard_inner(items, gp, config)
+    return _build_standard_inner(items, gp, config)
+
+
+def _build_standard_inner(items, gp: GraphParams,
+                          config: BuildConfig = DEFAULT_BUILD_CONFIG
+                          ) -> tuple[ArrowSpace, GraphLaplacian]:
     reset_phase_timings()
     arr = validate_items(items)
     dtype = _pick_dtype(arr)
@@ -115,10 +130,18 @@ def build_standard(items, gp: GraphParams,
         xu.block_until_ready()
     stored = xu if gp.normalise else x
 
+    backend = config.knn_backend
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                   else "xla")
     with phase("knn"):
-        d, i = knn_graph_candidates(
-            xu, gp.k, gp.eps,
-            block_rows=config.block_rows, col_tile=config.col_tile)
+        if backend == "pallas":
+            from ..ops.pallas.knn import knn_graph_candidates_pallas
+            d, i = knn_graph_candidates_pallas(xu, gp.k, gp.eps)
+        else:
+            d, i = knn_graph_candidates(
+                xu, gp.k, gp.eps,
+                block_rows=config.block_rows, col_tile=config.col_tile)
         d.block_until_ready()
 
     with phase("weights"):

@@ -1,0 +1,168 @@
+"""Fused exact k-NN Pallas kernel — the hottest op of the build pipeline.
+
+One `pallas_call` per row block handles the entire corpus: the TPU grid is
+sequential, so the kernel keeps a running (distance, index) top-k in VMEM
+scratch across column-tile grid steps.  Each step is:
+
+    MXU:  sims = rows @ cols^T                       [B, T]
+    VPU:  d = 1 - max(0, sims); self/pad/eps mask
+    VPU:  exact k-extraction over [B, k+T] (k passes of min + tie-broken
+          argmin via a value-match/index-min trick — no sort)
+
+versus the XLA path (`ops/distance.py`) whose per-tile `lax.top_k` lowers to
+a full sort of [B, k+T].  The extraction trick: after computing the row min
+`m`, the selected index is `min(where(d == m, idx, INT_MAX))` (deterministic
+smallest-index tie-break, matching stable argsort), and exactly that entry
+is masked out before the next pass.
+
+Distances within a pass are bitwise-equal to the XLA path (same matmul
+precision), so the two backends return identical neighbor sets up to
+distance ties.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF_DIST = 2.0
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _knn_block_kernel(eps_ref, nreal_ref, rowstart_ref, rows_ref, cols_ref,
+                      out_d_ref, out_i_ref, run_d, run_i, *, k: int,
+                      col_tile: int):
+    """Grid dim 0 walks column tiles; running top-k lives in VMEM scratch."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _init():
+        run_d[:] = jnp.full_like(run_d, _INF_DIST)
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    rows = rows_ref[:]                      # [B, F]
+    cols = cols_ref[:]                      # [T, F]
+    b = rows.shape[0]
+
+    sims = jax.lax.dot_general(
+        rows, cols, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [B, T]
+    d = 1.0 - jnp.maximum(sims, 0.0)
+
+    col_ids = (t * col_tile
+               + jax.lax.broadcasted_iota(jnp.int32, (b, col_tile), 1))
+    row_ids = (rowstart_ref[0]
+               + jax.lax.broadcasted_iota(jnp.int32, (b, col_tile), 0))
+    invalid = (col_ids == row_ids) | (col_ids >= nreal_ref[0])
+    d = jnp.where(invalid | (d > eps_ref[0]), _INF_DIST, d).astype(
+        jnp.float32)
+
+    cat_d = jnp.concatenate([run_d[:], d], axis=1)             # [B, k+T]
+    cat_i = jnp.concatenate([run_i[:], col_ids], axis=1)
+
+    new_d = jnp.zeros((b, k), dtype=jnp.float32)
+    new_i = jnp.zeros((b, k), dtype=jnp.int32)
+    for j in range(k):                      # static unroll: k min-extractions
+        m = jnp.min(cat_d, axis=1, keepdims=True)              # [B, 1]
+        hit = cat_d == m
+        sel = jnp.min(jnp.where(hit, cat_i, _INT_MAX), axis=1,
+                      keepdims=True)                            # [B, 1]
+        new_d = new_d.at[:, j].set(m[:, 0])
+        new_i = new_i.at[:, j].set(jnp.where(m[:, 0] >= _INF_DIST, -1,
+                                             sel[:, 0]))
+        cat_d = jnp.where(hit & (cat_i == sel), _INF_DIST, cat_d)
+
+    run_d[:] = new_d
+    run_i[:] = new_i
+
+    @pl.when(t == n_tiles - 1)
+    def _emit():
+        out_d_ref[:] = run_d[:]
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "col_tile", "interpret"))
+def _knn_pallas_all(xu_pad, eps, n_real, *, k, block_rows, col_tile,
+                    interpret=False):
+    n_pad, f = xu_pad.shape
+    n_tiles = n_pad // col_tile
+    n_blocks = n_pad // block_rows
+    eps_arr = jnp.asarray([eps], dtype=jnp.float32).reshape(1)
+    nreal_arr = jnp.asarray([n_real], dtype=jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # eps, n_real, row_start
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((block_rows, f), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),    # rows (fixed per call)
+            pl.BlockSpec((col_tile, f), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),    # column tile t
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, k), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, k), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, k), jnp.float32),
+            pltpu.VMEM((block_rows, k), jnp.int32),
+        ],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(_knn_block_kernel, k=k, col_tile=col_tile),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((block_rows, k), jnp.float32),
+            jax.ShapeDtypeStruct((block_rows, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+    def one_block(b):
+        rows = jax.lax.dynamic_slice(
+            xu_pad, (b * jnp.int32(block_rows), jnp.int32(0)),
+            (block_rows, f))
+        row_start = (b * block_rows).astype(jnp.int32).reshape(1)
+        d, i = kernel(eps_arr, nreal_arr, row_start,
+                      rows.astype(jnp.float32), xu_pad.astype(jnp.float32))
+        return d, i
+
+    d, i = jax.lax.map(one_block, jnp.arange(n_blocks, dtype=jnp.int32))
+    return d.reshape(n_pad, k), i.reshape(n_pad, k)
+
+
+def knn_graph_candidates_pallas(xu: jnp.ndarray, k: int, eps: float,
+                                block_rows: int = 512, col_tile: int = 1024,
+                                interpret: bool | None = None):
+    """Exact eps-filtered k-NN via the fused Pallas kernel.
+
+    Same contract as ops.distance.knn_graph_candidates: (dist [N,k] f32,
+    idx [N,k] int32) ascending per row, missing = (2.0, -1).  Falls back to
+    interpret mode automatically off-TPU (CPU tests).
+    """
+    n, f = xu.shape
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    k_eff = max(1, min(k, n - 1)) if n > 1 else 1
+    tile = min(col_tile, max(128, 1 << (n - 1).bit_length()))
+    block = min(block_rows, tile)
+    lcm = int(np.lcm(tile, block))
+    n_pad = ((max(n, lcm) + lcm - 1) // lcm) * lcm
+    xu_pad = jnp.pad(xu.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    d, i = _knn_pallas_all(xu_pad, float(eps), n, k=k_eff, block_rows=block,
+                           col_tile=tile, interpret=interpret)
+    d, i = d[:n], i[:n]
+    if k_eff < k:
+        d = jnp.pad(d, ((0, 0), (0, k - k_eff)), constant_values=_INF_DIST)
+        i = jnp.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return d.astype(xu.dtype), i

@@ -1,0 +1,161 @@
+"""Fused lambda-aware serving kernel — one HBM pass per query batch.
+
+The serving step streams corpus tiles from HBM exactly once and keeps the
+per-query running top-k in VMEM (SURVEY.md §7 step 4):
+
+    MXU:  cos  = qn @ xu_tile^T                          [Qb, T]
+    VPU:  prox = 1 / (1 + |lam_tile - lam_q|)
+    VPU:  score = tau * cos + (1 - tau) * prox
+    VPU:  exact k-extraction (max variant of ops/pallas/knn.py's trick)
+
+Grid is (query_blocks, corpus_tiles) with the tile axis innermost — the TPU
+grid is sequential, so the VMEM scratch accumulates across tiles and resets
+when a new query block starts.  This replaces `lax.top_k` over [Q, N]
+(a full sort of N per query) with k cheap min/max passes per tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -3.0e38
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _scan_kernel(tau_ref, nreal_ref, qn_ref, lamq_ref, xu_ref, lam_ref,
+                 out_s_ref, out_i_ref, run_s, run_i, *, k: int,
+                 col_tile: int):
+    qb, t = pl.program_id(0), pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _init():
+        run_s[:] = jnp.full_like(run_s, _NEG_INF)
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    qn = qn_ref[:]                       # [Qb, F]
+    xu = xu_ref[:]                       # [T, F]
+    nq = qn.shape[0]
+    tau = tau_ref[0]
+
+    cos = jax.lax.dot_general(qn, xu, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [Qb, T]
+    lam_tile = lam_ref[0:1, :]                                     # [1, T]
+    lam_q = lamq_ref[:, 0:1]                                       # [Qb, 1]
+    prox = 1.0 / (1.0 + jnp.abs(lam_tile - lam_q))
+    score = tau * cos + (1.0 - tau) * prox
+
+    col_ids = (t * col_tile
+               + jax.lax.broadcasted_iota(jnp.int32, (nq, col_tile), 1))
+    score = jnp.where(col_ids >= nreal_ref[0], _NEG_INF, score).astype(
+        jnp.float32)
+
+    cat_s = jnp.concatenate([run_s[:], score], axis=1)          # [Qb, k+T]
+    cat_i = jnp.concatenate([run_i[:], col_ids], axis=1)
+
+    new_s = jnp.zeros((nq, k), dtype=jnp.float32)
+    new_i = jnp.zeros((nq, k), dtype=jnp.int32)
+    for j in range(k):                   # static unroll: k max-extractions
+        m = jnp.max(cat_s, axis=1, keepdims=True)
+        hit = cat_s == m
+        sel = jnp.min(jnp.where(hit, cat_i, _INT_MAX), axis=1,
+                      keepdims=True)
+        new_s = new_s.at[:, j].set(m[:, 0])
+        new_i = new_i.at[:, j].set(jnp.where(m[:, 0] <= _NEG_INF, -1,
+                                             sel[:, 0]))
+        cat_s = jnp.where(hit & (cat_i == sel), _NEG_INF, cat_s)
+
+    run_s[:] = new_s
+    run_i[:] = new_i
+
+    @pl.when(t == n_tiles - 1)
+    def _emit():
+        out_s_ref[:] = run_s[:]
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "q_block", "col_tile",
+                                             "interpret"))
+def _scan_pallas(xu_pad, lam_pad, qn_pad, lamq_pad, tau, n_real, *, k,
+                 q_block, col_tile, interpret=False):
+    n_pad, f = xu_pad.shape
+    q_pad = qn_pad.shape[0]
+    n_tiles = n_pad // col_tile
+    n_qblocks = q_pad // q_block
+    tau_arr = jnp.asarray([tau], dtype=jnp.float32).reshape(1)
+    nreal_arr = jnp.asarray([n_real], dtype=jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # tau, n_real
+        grid=(n_qblocks, n_tiles),
+        in_specs=[
+            pl.BlockSpec((q_block, f), lambda qb, t, *_: (qb, 0),
+                         memory_space=pltpu.VMEM),     # qn block
+            pl.BlockSpec((q_block, 128), lambda qb, t, *_: (qb, 0),
+                         memory_space=pltpu.VMEM),     # lam_q (lane-repl.)
+            pl.BlockSpec((col_tile, f), lambda qb, t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),     # corpus tile
+            pl.BlockSpec((1, col_tile), lambda qb, t, *_: (0, t),
+                         memory_space=pltpu.VMEM),     # lambdas tile
+        ],
+        out_specs=[
+            pl.BlockSpec((q_block, k), lambda qb, t, *_: (qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, k), lambda qb, t, *_: (qb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_block, k), jnp.float32),
+            pltpu.VMEM((q_block, k), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_scan_kernel, k=k, col_tile=col_tile),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tau_arr, nreal_arr, qn_pad, lamq_pad, xu_pad, lam_pad)
+    return out
+
+
+def lambda_search_pallas(xu: jnp.ndarray, lambdas: jnp.ndarray,
+                         qn: jnp.ndarray, lam_q: jnp.ndarray, tau,
+                         topk: int, q_block: int = 256,
+                         col_tile: int = 1024,
+                         interpret: bool | None = None):
+    """Batched lambda-aware top-k via the fused Pallas scan.
+
+    Args: xu [N, F] unit rows, lambdas [N], qn [Q, F] unit queries,
+    lam_q [Q].  Returns (idx [Q, topk] int32, scores [Q, topk] f32).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n, f = xu.shape
+    q = qn.shape[0]
+    tile = min(col_tile, max(128, 1 << (n - 1).bit_length()))
+    n_pad = ((n + tile - 1) // tile) * tile
+    qb = min(q_block, max(8, 1 << (q - 1).bit_length()))
+    q_pad = ((q + qb - 1) // qb) * qb
+    k = max(1, min(topk, n))
+
+    xu_pad = jnp.pad(xu.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    lam_pad = jnp.pad(lambdas.astype(jnp.float32),
+                      (0, n_pad - n)).reshape(1, n_pad)
+    qn_pad = jnp.pad(qn.astype(jnp.float32), ((0, q_pad - q), (0, 0)))
+    lamq_pad = jnp.broadcast_to(
+        jnp.pad(lam_q.astype(jnp.float32), (0, q_pad - q))[:, None],
+        (q_pad, 128))
+    s, i = _scan_pallas(xu_pad, lam_pad, qn_pad, lamq_pad,
+                        jnp.asarray(tau, dtype=jnp.float32), n,
+                        k=k, q_block=qb, col_tile=tile,
+                        interpret=interpret)
+    return i[:q], s[:q]

@@ -50,16 +50,22 @@ def lambda_aware_topk_batch(xu: jnp.ndarray, lambdas: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("topk", "rayleigh_normalized", "tau_mix"))
+                   static_argnames=("topk", "rayleigh_normalized", "tau_mix",
+                                    "backend"))
 def fused_query_pipeline(xu: jnp.ndarray, lambdas: jnp.ndarray,
                          lap_f: jnp.ndarray, w_f: jnp.ndarray,
                          tau_star: jnp.ndarray, q_batch: jnp.ndarray,
                          tau: jnp.ndarray, *, topk: int,
-                         rayleigh_normalized: bool, tau_mix: float):
+                         rayleigh_normalized: bool, tau_mix: float,
+                         backend: str = "auto"):
     """The full serving step in ONE compiled program: query lambda synthesis
     (Rayleigh + dispersion against the stored feature Laplacian) fused with
     the blended scan + top-k.  A single dispatch per batch — essential when
-    the host-device link has per-call latency (remote TPU tunnels)."""
+    the host-device link has per-call latency (remote TPU tunnels).
+
+    backend "pallas" streams corpus tiles through the fused Pallas scan
+    (ops/pallas/scan_topk.py) instead of lax.top_k over [Q, N]; "auto"
+    picks pallas on TPU."""
     from .rayleigh import dispersion_batch, rayleigh_batch
     from ..spectral.taumode import synthesize
 
@@ -68,6 +74,15 @@ def fused_query_pipeline(xu: jnp.ndarray, lambdas: jnp.ndarray,
              if rayleigh_normalized else e_un)
     g = dispersion_batch(q_batch, w_f, e_un)
     lam_q = synthesize(e_raw, g, tau_star, tau_mix)
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                   else "xla")
+    if backend == "pallas":
+        from .pallas.scan_topk import lambda_search_pallas
+        qn = unit_normalize(q_batch, axis=-1)
+        idx, vals = lambda_search_pallas(xu, lambdas, qn, lam_q, tau, topk,
+                                         interpret=False)
+        return idx, vals.astype(xu.dtype)
     return lambda_aware_topk_batch(xu, lambdas, q_batch, lam_q, tau, topk)
 
 

@@ -157,6 +157,49 @@ def _sharded_lambdas(stored_pad, lap_f, w_f, *, n_real, mesh,
     return fn(stored_pad, lap_f, w_f)
 
 
+@functools.partial(jax.jit, static_argnames=("topk", "mesh", "tau_mix"))
+def _sharded_search_fused(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star, tau,
+                          *, topk, mesh, tau_mix):
+    """One compiled program for the whole sharded serving step: replicated
+    query-lambda synthesis fused with the per-shard scan + all_gather merge
+    (single dispatch — same rationale as ops/search.fused_query_pipeline)."""
+
+    def body(xl, ll, qb, lap, wf, ts, tt):
+        e_un = rayleigh_batch(qb, lap, normalized=False)
+        g = dispersion_batch(qb, wf, e_un)
+        lq = synthesize(e_un, g, ts, tau_mix)
+        return _search_body(xl, ll, qb, lq, tt, topk)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(),
+                             P()),
+                   out_specs=(P(), P()), check_vma=False)
+    return fn(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star,
+              jnp.asarray(tau))
+
+
+def _search_body(xl, ll, qb, lq, tau, topk):
+    n_loc = xl.shape[0]
+    my = jax.lax.axis_index(DATA_AXIS)
+    qn = unit_normalize(qb, axis=-1)
+    cos = jax.lax.dot_general(qn, xl, (((1,), (1,)), ((), ())),
+                              preferred_element_type=xl.dtype)  # [Q, L]
+    prox = 1.0 / (1.0 + jnp.abs(ll[None, :] - lq[:, None]))
+    score = tau * cos + (1.0 - tau) * prox
+    vals, idx = jax.lax.top_k(score, topk)
+    gidx = my * n_loc + idx.astype(jnp.int32)
+    all_vals = jax.lax.all_gather(vals, DATA_AXIS)   # [d, Q, topk]
+    all_idx = jax.lax.all_gather(gidx, DATA_AXIS)
+    d = all_vals.shape[0]
+    merged_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(
+        qb.shape[0], d * topk)
+    merged_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(
+        qb.shape[0], d * topk)
+    fv, fpos = jax.lax.top_k(merged_v, topk)
+    fi = jnp.take_along_axis(merged_i, fpos, axis=1)
+    return fi, fv
+
+
 @functools.partial(jax.jit, static_argnames=("topk", "mesh"))
 def _sharded_search(xu_pad, lambdas_pad, q, lam_q, tau, *, topk, mesh):
     """Batched lambda-aware search over the sharded corpus."""
@@ -241,10 +284,10 @@ class ShardedArrowSpace:
         q = jnp.asarray(queries, dtype=self._stored_pad.dtype)
         topk = self._params.topk if topk is None else int(topk)
         topk = min(topk, self._n_real)
-        lam_q = self.prepare_queries(q)
-        idx, vals = _sharded_search(
-            self._xu_pad, self._lambdas_pad, q, lam_q,
-            jnp.asarray(tau, dtype=q.dtype), topk=topk, mesh=self.mesh)
+        idx, vals = _sharded_search_fused(
+            self._xu_pad, self._lambdas_pad, q, self._lap_f, self._w_f,
+            self._tau_star, jnp.asarray(tau, dtype=q.dtype), topk=topk,
+            mesh=self.mesh, tau_mix=self._tau_mix)
         return np.asarray(idx), np.asarray(vals)
 
 

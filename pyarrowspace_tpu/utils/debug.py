@@ -50,16 +50,36 @@ def dbg_println(msg: str) -> None:
 
 @contextlib.contextmanager
 def phase(name: str):
-    """Time a named pipeline phase; records into the phase-timing table and
-    emits a debug line (two-level tracing design per SURVEY.md §5)."""
+    """Time a named pipeline phase; records into the phase-timing table,
+    emits a debug line, and annotates the XLA profiler trace (two-level
+    tracing design per SURVEY.md §5 + jax.profiler hooks)."""
     t0 = time.perf_counter()
     dbg_println(f"phase:{name} start")
     try:
-        yield
+        import jax
+        ctx = jax.profiler.TraceAnnotation(f"arrowspace:{name}")
+    except Exception:  # pragma: no cover - profiler unavailable
+        ctx = contextlib.nullcontext()
+    try:
+        with ctx:
+            yield
     finally:
         dt = time.perf_counter() - t0
         _PHASE_TIMINGS[name] = dt
         dbg_println(f"phase:{name} done in {dt:.3f}s")
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """Capture a full XLA profiler trace around a build/search region
+    (viewable in TensorBoard/XProf).  Also reachable via the env var
+    ARROWSPACE_PROFILE=<dir> on ArrowSpaceBuilder.build."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 def reset_phase_timings() -> None:

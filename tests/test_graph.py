@@ -107,3 +107,19 @@ def test_weight_symmetry_of_built_graph():
     np.fill_diagonal(W, 0.0)
     np.testing.assert_allclose(W, W.T, atol=1e-12)
     assert np.all(W >= 0)
+
+
+def test_pallas_knn_matches_xla():
+    """The fused Pallas kernel (interpret mode on CPU) must produce the
+    same neighbor sets and distances as the XLA path."""
+    from pyarrowspace_tpu.ops.pallas.knn import knn_graph_candidates_pallas
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(150, 32)).astype(np.float32)
+    xu = unit_normalize(jnp.asarray(x))
+    d1, i1 = knn_graph_candidates(xu, 6, 0.9)
+    d2, i2 = knn_graph_candidates_pallas(xu, 6, 0.9, interpret=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+    for r in range(150):
+        a = set(np.asarray(i1[r])[np.asarray(i1[r]) >= 0].tolist())
+        b = set(np.asarray(i2[r])[np.asarray(i2[r]) >= 0].tolist())
+        assert a == b, r

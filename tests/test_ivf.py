@@ -1,0 +1,52 @@
+"""IVF-accelerated serving mode: recall vs exact search."""
+
+import numpy as np
+import pytest
+
+from pyarrowspace_tpu import ArrowSpaceBuilder
+
+GP = {"eps": 0.9, "k": 6, "topk": 10, "p": 2.0, "sigma": 0.3}
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(77)
+    base = rng.normal(size=(40, 32))
+    items = np.repeat(base, 50, axis=0) + 0.15 * rng.normal(size=(2000, 32))
+    aspace, gl = ArrowSpaceBuilder.build(GP, items)
+    return aspace, gl, items
+
+
+def test_ivf_builds_and_routes(built):
+    aspace, gl, items = built
+    ivf = aspace.enable_ivf(n_clusters=40)
+    assert ivf.centroids.shape[0] == 40
+    # every item is reachable: buckets + tail cover all ids exactly once
+    ids = np.asarray(ivf.buckets).reshape(-1)
+    ids = ids[ids >= 0].tolist() + [
+        i for i in np.asarray(ivf.tail).tolist() if i >= 0]
+    assert sorted(ids) == list(range(2000))
+
+
+def test_ivf_recall_vs_exact(built):
+    aspace, gl, items = built
+    aspace.enable_ivf(n_clusters=40)
+    rng = np.random.default_rng(1)
+    queries = items[rng.choice(2000, 20, replace=False)] * 1.02
+    ei, _ = aspace.search_batch(queries, gl, 0.62)
+    ai, _ = aspace.search_batch(queries, gl, 0.62, mode="ivf", n_probe=8)
+    recalls = [len(set(ei[r].tolist()) & set(ai[r].tolist())) / 10
+               for r in range(20)]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_full_probe_is_exact(built):
+    """Probing every cluster must reproduce the exact ranking."""
+    aspace, gl, items = built
+    aspace.enable_ivf(n_clusters=40)
+    rng = np.random.default_rng(2)
+    queries = items[rng.choice(2000, 5, replace=False)] * 1.05
+    ei, ev = aspace.search_batch(queries, gl, 0.62)
+    ai, av = aspace.search_batch(queries, gl, 0.62, mode="ivf", n_probe=40)
+    assert np.array_equal(ei, ai)
+    np.testing.assert_allclose(ev, av, rtol=1e-6)

@@ -1,0 +1,48 @@
+"""Native C++ host runtime: OpenMP k-NN golden engine, ingest scan, blob IO.
+Skipped wholesale when the toolchain is unavailable."""
+
+import numpy as np
+import pytest
+
+from pyarrowspace_tpu.io import native
+
+pytestmark = pytest.mark.skipif(not native.native_available(),
+                                reason="native toolchain unavailable")
+
+
+def test_scan_validate():
+    x = np.ones((10, 4))
+    x[0, 0] = np.nan
+    x[1, 1] = np.inf
+    x[2, 2] = -np.inf
+    assert native.scan_validate(x) == (1, 2)
+    assert native.scan_validate(np.zeros((3, 3))) == (0, 0)
+
+
+def test_native_knn_matches_jax():
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.ops.distance import (knn_graph_candidates,
+                                               unit_normalize)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(120, 16))
+    nd, ni = native.knn_host(x, k=7, eps=0.8)
+    jd, ji = knn_graph_candidates(unit_normalize(jnp.asarray(x)), 7, 0.8)
+    np.testing.assert_allclose(nd, np.asarray(jd), atol=1e-8)
+    for r in range(120):
+        assert (set(ni[r][ni[r] >= 0].tolist())
+                == set(np.asarray(ji[r])[np.asarray(ji[r]) >= 0].tolist())), r
+
+
+def test_blob_roundtrip(tmp_path):
+    payload = np.arange(1000, dtype=np.float32).tobytes()
+    path = str(tmp_path / "seg.asx")
+    assert native.write_blob(path, payload)
+    back = native.read_blob(path)
+    assert back == payload
+
+
+def test_blob_rejects_garbage(tmp_path):
+    path = str(tmp_path / "bad.asx")
+    with open(path, "wb") as fh:
+        fh.write(b"not a blob")
+    assert native.read_blob(path) is None

@@ -99,3 +99,24 @@ def test_energy_search_self_retrieval(built):
     for probe in (0, 11, 42):
         hits = aspace.search_energy(items[probe], gl, 3)
         assert hits[0][0] == probe
+
+
+def test_pallas_scan_matches_xla(built):
+    """Fused Pallas serving kernel (interpret mode) == XLA batch search."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas.scan_topk import lambda_search_pallas
+    from pyarrowspace_tpu.ops.search import lambda_aware_topk_batch
+    aspace, gl, items = built
+    rng = np.random.default_rng(9)
+    q = rng.normal(size=(7, items.shape[1])).astype(np.float32) + 0.4
+    qn = unit_normalize(jnp.asarray(q))
+    lam_q = jnp.asarray(rng.uniform(0.1, 0.3, size=7).astype(np.float32))
+    xu = jnp.asarray(aspace._data_unit, dtype=jnp.float32)
+    lams = jnp.asarray(aspace._lambdas, dtype=jnp.float32)
+    i1, s1 = lambda_aware_topk_batch(xu, lams, qn, lam_q,
+                                     jnp.float32(0.62), 10)
+    i2, s2 = lambda_search_pallas(xu, lams, qn, lam_q, 0.62, 10,
+                                  interpret=True)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
