@@ -130,7 +130,8 @@ def _build_standard_inner(items, gp: GraphParams,
         xu.block_until_ready()
     stored = xu if gp.normalise else x
 
-    backend = config.knn_backend
+    import os as _os
+    backend = _os.environ.get("ARROWSPACE_KNN_BACKEND", config.knn_backend)
     if backend == "auto":
         backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
                    else "xla")
@@ -139,9 +140,9 @@ def _build_standard_inner(items, gp: GraphParams,
             from ..ops.pallas.knn import knn_graph_candidates_pallas
             d, i = knn_graph_candidates_pallas(xu, gp.k, gp.eps)
         else:
-            d, i = knn_graph_candidates(
-                xu, gp.k, gp.eps,
-                block_rows=config.block_rows, col_tile=config.col_tile)
+            from ..ops.distance import knn_graph_candidates_chunked
+            d, i = knn_graph_candidates_chunked(xu, gp.k, gp.eps,
+                                                col_tile=config.col_tile)
         d.block_until_ready()
 
     with phase("weights"):

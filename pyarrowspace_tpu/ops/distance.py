@@ -105,6 +105,93 @@ def _knn_all_blocks(xu_pad, *, k, block_rows, col_tile, n_real, eps):
     return d.reshape(n_pad, k), i.reshape(n_pad, k)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "col_tile"))
+def _merge_segment(rows, seg, best_d, best_i, row_start, seg_start, n_real,
+                   eps, *, k, col_tile):
+    """Merge one corpus segment into the running top-k of one row chunk.
+
+    Fixed shapes: rows [C, F], seg [S, F] — compiled ONCE and reused for
+    every (chunk, segment) pair of any corpus size.  Short dispatches keep
+    remote-TPU links healthy (a whole-corpus single dispatch at 313k+ rows
+    trips tunnel deadlines) and the compile cache hot across corpus sizes.
+    """
+    c, f = rows.shape
+    s = seg.shape[0]
+    n_tiles = s // col_tile
+    row_ids = (row_start
+               + jnp.arange(c, dtype=jnp.int32)[:, None]).astype(jnp.int32)
+
+    def scan_tile(carry, t):
+        bd, bi = carry
+        cols = jax.lax.dynamic_slice(
+            seg, (t * jnp.int32(col_tile), jnp.int32(0)), (col_tile, f))
+        sims = jax.lax.dot_general(
+            rows, cols, (((1,), (1,)), ((), ())),
+            preferred_element_type=rows.dtype)
+        d = 1.0 - jnp.maximum(sims, 0.0)
+        col_ids = (seg_start + t * jnp.int32(col_tile)
+                   + jnp.arange(col_tile, dtype=jnp.int32)[None, :]).astype(
+                       jnp.int32)
+        invalid = (col_ids == row_ids) | (col_ids >= n_real)
+        d = jnp.where(invalid | (d > eps), _INF_DIST, d)
+        cd = jnp.concatenate([bd, d], axis=1)
+        ci = jnp.concatenate([bi, jnp.broadcast_to(col_ids, d.shape)],
+                             axis=1)
+        neg, pos = jax.lax.top_k(-cd, k)
+        return (-neg, jnp.take_along_axis(ci, pos, axis=1)), None
+
+    (best_d, best_i), _ = jax.lax.scan(
+        scan_tile, (best_d, best_i), jnp.arange(n_tiles, dtype=jnp.int32))
+    return best_d, best_i
+
+
+def knn_graph_candidates_chunked(xu: jnp.ndarray, k: int, eps: float,
+                                 row_chunk: int = 16384,
+                                 col_segment: int = 65536,
+                                 col_tile: int = 2048):
+    """Exact eps-filtered k-NN with size-independent compilation.
+
+    Pads the corpus to a (row_chunk x col_segment) grid and python-loops
+    the fixed-shape `_merge_segment` program over it; running top-k buffers
+    stay on device between calls.  Same contract as knn_graph_candidates.
+    """
+    n, f = xu.shape
+    k_eff = max(1, min(k, n - 1)) if n > 1 else 1
+    tile = min(col_tile, _ceil_to(n, 128))
+    seg = min(col_segment, _ceil_to(n, tile))
+    seg = _ceil_to(seg, tile)
+    chunk = min(row_chunk, _ceil_to(n, 8))
+    n_pad = _ceil_to(max(n, seg, chunk), int(np.lcm(seg, chunk)))
+    xu_pad = jnp.pad(xu, ((0, n_pad - n), (0, 0)))
+    eps_t = jnp.asarray(eps, dtype=xu.dtype)
+    n_real = jnp.int32(n)
+
+    out_d, out_i = [], []
+    for r0 in range(0, n_pad, chunk):
+        rows = jax.lax.dynamic_slice(xu_pad, (r0, 0), (chunk, f))
+        bd = jnp.full((chunk, k_eff), _INF_DIST, dtype=xu.dtype)
+        bi = jnp.full((chunk, k_eff), -1, dtype=jnp.int32)
+        for s0 in range(0, n_pad, seg):
+            seg_arr = jax.lax.dynamic_slice(xu_pad, (s0, 0), (seg, f))
+            bd, bi = _merge_segment(rows, seg_arr, bd, bi, jnp.int32(r0),
+                                    jnp.int32(s0), n_real, eps_t,
+                                    k=k_eff, col_tile=tile)
+        out_d.append(bd)
+        out_i.append(bi)
+        if r0 + chunk >= n:
+            break
+    d = jnp.concatenate(out_d, axis=0)[:n]
+    i = jnp.concatenate(out_i, axis=0)[:n]
+    keep = d <= eps_t
+    d = jnp.where(keep, d, _INF_DIST)
+    i = jnp.where(keep, i, -1)
+    if k_eff < k:
+        d = jnp.pad(d, ((0, 0), (0, k - k_eff)), constant_values=_INF_DIST)
+        i = jnp.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return d, i
+
+
 def knn_graph_candidates(xu: jnp.ndarray, k: int, eps: float,
                          block_rows: int = 1024, col_tile: int = 2048):
     """Exact eps-filtered k-NN over unit-normalized rows.

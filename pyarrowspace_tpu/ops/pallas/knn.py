@@ -66,6 +66,9 @@ def _knn_block_kernel(eps_ref, nreal_ref, rowstart_ref, rows_ref, cols_ref,
     cat_d = jnp.concatenate([run_d[:], d], axis=1)             # [B, k+T]
     cat_i = jnp.concatenate([run_i[:], col_ids], axis=1)
 
+    # Scatter-free column writes: Mosaic has no scatter lowering, so each
+    # extraction writes through an iota==j mask (pure elementwise).
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
     new_d = jnp.zeros((b, k), dtype=jnp.float32)
     new_i = jnp.zeros((b, k), dtype=jnp.int32)
     for j in range(k):                      # static unroll: k min-extractions
@@ -73,9 +76,10 @@ def _knn_block_kernel(eps_ref, nreal_ref, rowstart_ref, rows_ref, cols_ref,
         hit = cat_d == m
         sel = jnp.min(jnp.where(hit, cat_i, _INT_MAX), axis=1,
                       keepdims=True)                            # [B, 1]
-        new_d = new_d.at[:, j].set(m[:, 0])
-        new_i = new_i.at[:, j].set(jnp.where(m[:, 0] >= _INF_DIST, -1,
-                                             sel[:, 0]))
+        mask_j = col_k == j
+        new_d = jnp.where(mask_j, m, new_d)
+        new_i = jnp.where(mask_j,
+                          jnp.where(m >= _INF_DIST, -1, sel), new_i)
         cat_d = jnp.where(hit & (cat_i == sel), _INF_DIST, cat_d)
 
     run_d[:] = new_d
@@ -90,13 +94,15 @@ def _knn_block_kernel(eps_ref, nreal_ref, rowstart_ref, rows_ref, cols_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_rows", "col_tile", "interpret"))
-def _knn_pallas_all(xu_pad, eps, n_real, *, k, block_rows, col_tile,
-                    interpret=False):
+def _knn_pallas_block(xu_pad, rows, eps_arr, nreal_arr, row_start, *, k,
+                      block_rows, col_tile, interpret=False):
+    """One row-block against the whole corpus — one pallas_call dispatch.
+
+    Blocks are python-looped (async-pipelined) rather than lax.map'd: a
+    mapped pallas_call makes XLA pin the stacked per-iteration outputs in
+    VMEM, blowing the 16 MB scoped limit at realistic block sizes."""
     n_pad, f = xu_pad.shape
     n_tiles = n_pad // col_tile
-    n_blocks = n_pad // block_rows
-    eps_arr = jnp.asarray([eps], dtype=jnp.float32).reshape(1)
-    nreal_arr = jnp.asarray([n_real], dtype=jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # eps, n_real, row_start
@@ -125,24 +131,37 @@ def _knn_pallas_all(xu_pad, eps, n_real, *, k, block_rows, col_tile,
             jax.ShapeDtypeStruct((block_rows, k), jnp.float32),
             jax.ShapeDtypeStruct((block_rows, k), jnp.int32),
         ],
+        # The unrolled k-extraction keeps several [B, k+T] temporaries
+        # live; raise the scoped-VMEM budget above the 16 MB default.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )
+    return kernel(eps_arr, nreal_arr, row_start, rows, xu_pad)
 
-    def one_block(b):
+
+def _knn_pallas_all(xu_pad, eps, n_real, *, k, block_rows, col_tile,
+                    interpret=False):
+    n_pad, f = xu_pad.shape
+    n_blocks = n_pad // block_rows
+    xu_pad = xu_pad.astype(jnp.float32)
+    eps_arr = jnp.asarray([eps], dtype=jnp.float32).reshape(1)
+    nreal_arr = jnp.asarray([n_real], dtype=jnp.int32).reshape(1)
+    outs = []
+    for b in range(n_blocks):   # async dispatches pipeline on-device
         rows = jax.lax.dynamic_slice(
-            xu_pad, (b * jnp.int32(block_rows), jnp.int32(0)),
-            (block_rows, f))
-        row_start = (b * block_rows).astype(jnp.int32).reshape(1)
-        d, i = kernel(eps_arr, nreal_arr, row_start,
-                      rows.astype(jnp.float32), xu_pad.astype(jnp.float32))
-        return d, i
-
-    d, i = jax.lax.map(one_block, jnp.arange(n_blocks, dtype=jnp.int32))
-    return d.reshape(n_pad, k), i.reshape(n_pad, k)
+            xu_pad, (b * block_rows, 0), (block_rows, f))
+        row_start = jnp.asarray([b * block_rows], dtype=jnp.int32)
+        outs.append(_knn_pallas_block(
+            xu_pad, rows, eps_arr, nreal_arr, row_start, k=k,
+            block_rows=block_rows, col_tile=col_tile, interpret=interpret))
+    d = jnp.concatenate([o[0] for o in outs], axis=0)
+    i = jnp.concatenate([o[1] for o in outs], axis=0)
+    return d, i
 
 
 def knn_graph_candidates_pallas(xu: jnp.ndarray, k: int, eps: float,
-                                block_rows: int = 512, col_tile: int = 1024,
+                                block_rows: int = 512, col_tile: int = 512,
                                 interpret: bool | None = None):
     """Exact eps-filtered k-NN via the fused Pallas kernel.
 

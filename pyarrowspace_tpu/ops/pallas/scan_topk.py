@@ -59,6 +59,8 @@ def _scan_kernel(tau_ref, nreal_ref, qn_ref, lamq_ref, xu_ref, lam_ref,
     cat_s = jnp.concatenate([run_s[:], score], axis=1)          # [Qb, k+T]
     cat_i = jnp.concatenate([run_i[:], col_ids], axis=1)
 
+    # Scatter-free column writes (Mosaic has no scatter lowering).
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (nq, k), 1)
     new_s = jnp.zeros((nq, k), dtype=jnp.float32)
     new_i = jnp.zeros((nq, k), dtype=jnp.int32)
     for j in range(k):                   # static unroll: k max-extractions
@@ -66,9 +68,10 @@ def _scan_kernel(tau_ref, nreal_ref, qn_ref, lamq_ref, xu_ref, lam_ref,
         hit = cat_s == m
         sel = jnp.min(jnp.where(hit, cat_i, _INT_MAX), axis=1,
                       keepdims=True)
-        new_s = new_s.at[:, j].set(m[:, 0])
-        new_i = new_i.at[:, j].set(jnp.where(m[:, 0] <= _NEG_INF, -1,
-                                             sel[:, 0]))
+        mask_j = col_k == j
+        new_s = jnp.where(mask_j, m, new_s)
+        new_i = jnp.where(mask_j,
+                          jnp.where(m <= _NEG_INF, -1, sel), new_i)
         cat_s = jnp.where(hit & (cat_i == sel), _NEG_INF, cat_s)
 
     run_s[:] = new_s
@@ -122,6 +125,8 @@ def _scan_pallas(xu_pad, lam_pad, qn_pad, lamq_pad, tau, n_real, *, k,
             jax.ShapeDtypeStruct((q_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )(tau_arr, nreal_arr, qn_pad, lamq_pad, xu_pad, lam_pad)
     return out

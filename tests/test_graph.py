@@ -123,3 +123,18 @@ def test_pallas_knn_matches_xla():
         a = set(np.asarray(i1[r])[np.asarray(i1[r]) >= 0].tolist())
         b = set(np.asarray(i2[r])[np.asarray(i2[r]) >= 0].tolist())
         assert a == b, r
+
+
+def test_chunked_knn_matches_monolithic():
+    from pyarrowspace_tpu.ops.distance import knn_graph_candidates_chunked
+    rng = np.random.default_rng(29)
+    x = rng.normal(size=(700, 24))
+    xu = unit_normalize(jnp.asarray(x))
+    d1, i1 = knn_graph_candidates(xu, 9, 0.7)
+    d2, i2 = knn_graph_candidates_chunked(xu, 9, 0.7, row_chunk=256,
+                                          col_segment=256, col_tile=128)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-12)
+    for r in range(700):
+        a = set(np.asarray(i1[r])[np.asarray(i1[r]) >= 0].tolist())
+        b = set(np.asarray(i2[r])[np.asarray(i2[r]) >= 0].tolist())
+        assert a == b, r

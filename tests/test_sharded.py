@@ -69,3 +69,34 @@ def test_graft_entry_contract():
     idx, vals = jax.jit(fn)(*args)
     assert idx.shape == (16, 10)
     g.dryrun_multichip(8)
+
+
+def test_dp_tp_lambdas_match_single_chip():
+    """2-D (data x model) mesh: column-parallel Rayleigh/dispersion psums
+    must reproduce the single-chip lambda stage exactly."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from pyarrowspace_tpu.graph.feature import build_feature_laplacian
+    from pyarrowspace_tpu.ops.rayleigh import dispersion_batch, rayleigh_batch
+    from pyarrowspace_tpu.parallel.tp import lambdas_dp_tp
+    from pyarrowspace_tpu.spectral.taumode import (TAU_MIX, derive_tau_star,
+                                                   synthesize)
+    from pyarrowspace_tpu.core.params import TauMode
+
+    rng = np.random.default_rng(44)
+    n, f = 128, 64
+    x = jnp.asarray(rng.normal(size=(n, f)) + 0.3)
+    w_f, lap_f, _ = build_feature_laplacian(x, k_f=4)
+
+    e = rayleigh_batch(x, lap_f, normalized=False)
+    ts = derive_tau_star(e, TauMode.MEDIAN)
+    g = dispersion_batch(x, w_f, e)
+    lam_ref = synthesize(e, g, ts, TAU_MIX)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "model"))
+    lam, e2, ts2 = lambdas_dp_tp(x, lap_f, w_f, mesh=mesh, n_real=n)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_ref),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e), rtol=1e-10)
+    assert float(ts2) == pytest.approx(float(ts), rel=1e-12)
