@@ -259,6 +259,24 @@ class ArrowSpace:
             tau_mix=self._tau_mix)
         return np.asarray(idx), np.asarray(vals)
 
+    def as_serving(self, dtype=None) -> "ArrowSpace":
+        """A serving-optimized view: the scanned corpus (unit rows) cast to
+        `dtype` (default bfloat16 — 2x MXU rate, f32 accumulation in the
+        scan).  Rankings can differ from f32 only on near-ties; build state
+        and lambdas keep full precision."""
+        import jax.numpy as _jnp
+        dtype = dtype or _jnp.bfloat16
+        clone = ArrowSpace._from_build(
+            data=self._data, data_unit=self._data_unit.astype(dtype),
+            lambdas=self._lambdas, e_raw=self._e_raw, lap_f=self._lap_f,
+            w_f=self._w_f, tau_star=self._tau_star, params=self._params,
+            rayleigh_normalized=self._rayleigh_normalized,
+            tau_mix=self._tau_mix, centroids=self._centroids,
+            assignments=self._assignments)
+        if getattr(self, "_energy_maps", None) is not None:
+            clone._energy_maps = self._energy_maps
+        return clone
+
     @property
     def data(self) -> np.ndarray:
         return np.asarray(self._data)

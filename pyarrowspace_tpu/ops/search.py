@@ -36,15 +36,26 @@ def lambda_aware_topk(xu: jnp.ndarray, lambdas: jnp.ndarray, q: jnp.ndarray,
     return idx, vals
 
 
+def _acc_dtype(dtype):
+    """Accumulate low-precision (bf16/f16) matmuls in f32 on the MXU."""
+    return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+
+
 @functools.partial(jax.jit, static_argnames=("topk",))
 def lambda_aware_topk_batch(xu: jnp.ndarray, lambdas: jnp.ndarray,
                             q_batch: jnp.ndarray, lam_q: jnp.ndarray,
                             tau: jnp.ndarray, topk: int):
-    """Batched variant: q_batch [Q, F], lam_q [Q] -> (idx [Q, topk], vals)."""
-    qn = unit_normalize(q_batch, axis=-1)
-    cos = jnp.matmul(qn, xu.T, preferred_element_type=xu.dtype)  # [Q, N]
-    prox = 1.0 / (1.0 + jnp.abs(lambdas[None, :] - lam_q[:, None]))
-    score = tau * cos + (1.0 - tau) * prox
+    """Batched variant: q_batch [Q, F], lam_q [Q] -> (idx [Q, topk], vals).
+
+    Accepts a bf16 corpus (the high-QPS serving layout): the cosine matmul
+    runs on the MXU at bf16 rate with f32 accumulation."""
+    qn = unit_normalize(q_batch.astype(_acc_dtype(q_batch.dtype)), axis=-1)
+    cos = jnp.matmul(qn.astype(xu.dtype), xu.T,
+                     preferred_element_type=_acc_dtype(xu.dtype))  # [Q, N]
+    lam32 = lambdas.astype(cos.dtype)
+    prox = 1.0 / (1.0 + jnp.abs(lam32[None, :]
+                                - lam_q.astype(cos.dtype)[:, None]))
+    score = tau.astype(cos.dtype) * cos + (1.0 - tau.astype(cos.dtype)) * prox
     vals, idx = jax.lax.top_k(score, topk)
     return idx, vals
 

@@ -138,3 +138,22 @@ def test_chunked_knn_matches_monolithic():
         a = set(np.asarray(i1[r])[np.asarray(i1[r]) >= 0].tolist())
         b = set(np.asarray(i2[r])[np.asarray(i2[r]) >= 0].tolist())
         assert a == b, r
+
+
+def test_suggest_graph_params():
+    from pyarrowspace_tpu.graph.suggest import suggest_graph_params
+    rng = np.random.default_rng(6)
+    # low intrinsic dim: 3-d manifold embedded in 64-d
+    latent = rng.normal(size=(2000, 3))
+    proj = rng.normal(size=(3, 64))
+    items = latent @ proj + 0.01 * rng.normal(size=(2000, 64))
+    rec = suggest_graph_params(items, sample=1024)
+    assert 2 <= rec["intrinsic_dim"] <= 5
+    assert 0 < rec["eps"] < 1.0
+    assert rec["sigma"] == pytest.approx(rec["eps"] * 0.41, rel=0.02)
+    assert 4 <= rec["k"] <= 64
+    # the suggestion must produce a connected-enough build
+    gp = {"eps": rec["eps"], "k": rec["k"], "topk": 5, "p": 2.0,
+          "sigma": rec["sigma"]}
+    _, gl = ArrowSpaceBuilder.build(gp, items)
+    assert gl.nedges > items.shape[0]  # well-connected

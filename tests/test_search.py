@@ -120,3 +120,19 @@ def test_pallas_scan_matches_xla(built):
                                   interpret=True)
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
+def test_bf16_serving_view(built):
+    """as_serving(bfloat16): self-retrieval exact, near-identical top-k."""
+    import jax.numpy as jnp
+    aspace, gl, items = built
+    serving = aspace.as_serving(jnp.bfloat16)
+    rng = np.random.default_rng(5)
+    queries = items[rng.choice(items.shape[0], 10, replace=False)] * 1.01
+    fi, _ = aspace.search_batch(queries, gl, 0.62)
+    bi, _ = serving.search_batch(queries, gl, 0.62)
+    # top-1 identical; top-10 overlap high (bf16 only breaks near-ties)
+    assert np.array_equal(fi[:, 0], bi[:, 0])
+    overlap = np.mean([len(set(fi[r]) & set(bi[r])) / fi.shape[1]
+                       for r in range(10)])
+    assert overlap >= 0.8, overlap
