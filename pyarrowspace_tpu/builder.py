@@ -31,6 +31,8 @@ class ArrowSpaceBuilder:
     def __init__(self):
         self._params: GraphParams = DEFAULT_GRAPH_PARAMS
         self._config: BuildConfig = DEFAULT_BUILD_CONFIG
+        self._sampling_rate: Optional[float] = None
+        self._spectral: bool = False
 
     # -- fluent engine API (reference builder::ArrowSpaceBuilder) -------------
     @staticmethod
@@ -74,13 +76,35 @@ class ArrowSpaceBuilder:
             tau_fixed=None if tau_fixed is None else float(tau_fixed))
         return self
 
+    def with_inline_sampling(self, rate: Optional[float]
+                             ) -> "ArrowSpaceBuilder":
+        """Sampling keep-rate for the reduction stage (the reference
+        builder's dormant `with_inline_sampling` knob, src/lib.rs:285;
+        None keeps the engine default of 0.6)."""
+        self._sampling_rate = None if rate is None else float(rate)
+        return self
+
+    def with_spectral(self, enabled: bool) -> "ArrowSpaceBuilder":
+        """Compute the spectral summary (feature-Laplacian eigenvalues)
+        eagerly at build time and attach it to the ArrowSpace (the
+        reference builder's dormant `with_spectral` knob, src/lib.rs:286)."""
+        self._spectral = bool(enabled)
+        return self
+
     def with_build_config(self, config: BuildConfig) -> "ArrowSpaceBuilder":
         self._config = config
         return self
 
     def build_rows(self, rows) -> tuple[ArrowSpace, GraphLaplacian]:
         """Fluent terminal: build from configured params."""
-        return build_standard(rows, self._params, self._config)
+        config = self._config
+        if self._sampling_rate is not None:
+            config = dataclasses.replace(config,
+                                         sampling_rate=self._sampling_rate)
+        aspace, gl = build_standard(rows, self._params, config)
+        if self._spectral:
+            aspace.spectral_summary()  # compute + cache eagerly
+        return aspace, gl
 
     # -- reference static API --------------------------------------------------
     @staticmethod

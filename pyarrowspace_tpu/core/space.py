@@ -285,6 +285,24 @@ class ArrowSpace:
     def tau_star(self) -> float:
         return float(self._tau_star)
 
+    def spectral_summary(self) -> dict:
+        """Eigen-summary of the F x F feature Laplacian (the `with_spectral`
+        capability): spectral gap, algebraic connectivity, spectral radius,
+        and the full spectrum (F is small, dense eigh on the MXU)."""
+        if getattr(self, "_spectral_cache", None) is None:
+            evals = np.asarray(jnp.linalg.eigvalsh(self._lap_f))
+            evals = np.maximum(evals, 0.0)
+            nonzero = evals[evals > 1e-10]
+            self._spectral_cache = {
+                "eigenvalues": evals,
+                "spectral_radius": float(evals[-1]),
+                "algebraic_connectivity": float(nonzero[0])
+                if nonzero.size else 0.0,
+                "spectral_gap": float(nonzero[0]) if nonzero.size else 0.0,
+                "n_components": int((evals <= 1e-10).sum()),
+            }
+        return self._spectral_cache
+
     @property
     def feature_laplacian(self) -> np.ndarray:
         return np.asarray(self._lap_f)

@@ -160,7 +160,6 @@ def build_energy_maps(items, ep: EnergyParams, gp: GraphParams
     # 2. Diffusion smoothing over the centroid graph.
     with phase("energy_diffuse"):
         w_c, lap_c = _centroid_knn_graph(centroids, ep.neighbor_k)
-        deg_c = jnp.diag(lap_c) if lap_c.ndim == 2 else None
         centroids = _diffuse(centroids, lap_c, jnp.sum(w_c, axis=1),
                              ep.eta, ep.steps)
 

@@ -59,6 +59,9 @@ class BuildConfig:
     # Reduction only kicks in at this corpus size (tiny corpora keep full
     # signals; the reference engine also skips its sampling path for toys).
     reduction_min_n: int = 4096
+    # Sampling keep-rate for the reduction stage; None -> engine default
+    # 0.6 (with_inline_sampling knob).
+    sampling_rate: Optional[float] = None
     # k-NN tiling.
     block_rows: int = 1024
     col_tile: int = 2048
@@ -162,7 +165,10 @@ def _build_standard_inner(items, gp: GraphParams,
     signals = stored
     if gp.dims_reduction and n >= config.reduction_min_n:
         with phase("reduction"):
-            red = reduce_corpus(stored, seed=gp.seed)
+            from ..reduction.pipeline import SAMPLING_KEEP_RATE
+            keep = (config.sampling_rate if config.sampling_rate is not None
+                    else SAMPLING_KEEP_RATE)
+            red = reduce_corpus(stored, seed=gp.seed, keep_rate=keep)
             centroids, assignments = red.centroids, red.assignments
             signals = centroids
 

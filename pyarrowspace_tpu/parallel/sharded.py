@@ -256,6 +256,49 @@ class ShardedArrowSpace:
         self._n_real = n_real
         self._tau_mix = tau_mix
 
+    @classmethod
+    def from_local(cls, aspace, gl, mesh: Optional[Mesh] = None
+                   ) -> "ShardedArrowSpace":
+        """Shard a single-chip ArrowSpace (e.g. one loaded with
+        io.load_index) across a mesh for multi-chip serving — the
+        build-once / serve-sharded deployment path."""
+        if mesh is None:
+            mesh = make_mesh()
+        n_dev = mesh.devices.size
+        x = aspace._data
+        n = x.shape[0]
+        block = n_dev * 128
+        n_pad = ((n + block - 1) // block) * block
+        row_shard = NamedSharding(mesh, P(DATA_AXIS))
+
+        def shard(arr, pad_rows):
+            arr = jnp.pad(arr, ((0, pad_rows),) + ((0, 0),) * (arr.ndim - 1))
+            return jax.device_put(arr, row_shard)
+
+        pad = n_pad - n
+        return cls(mesh,
+                   shard(aspace._data_unit, pad), shard(x, pad),
+                   shard(aspace._lambdas, pad), shard(aspace._e_raw, pad),
+                   jax.device_put(aspace._lap_f, NamedSharding(mesh, P())),
+                   jax.device_put(aspace._w_f, NamedSharding(mesh, P())),
+                   aspace._tau_star, aspace._params, n,
+                   tau_mix=aspace._tau_mix)
+
+    def to_local(self):
+        """Materialize back to a single-chip ArrowSpace (gathers shards)."""
+        from ..core.space import ArrowSpace
+        n = self._n_real
+        return ArrowSpace._from_build(
+            data=jnp.asarray(np.asarray(self._stored_pad)[:n]),
+            data_unit=jnp.asarray(np.asarray(self._xu_pad)[:n]),
+            lambdas=jnp.asarray(np.asarray(self._lambdas_pad)[:n]),
+            e_raw=jnp.asarray(np.asarray(self._e_pad)[:n]),
+            lap_f=jnp.asarray(np.asarray(self._lap_f)),
+            w_f=jnp.asarray(np.asarray(self._w_f)),
+            tau_star=jnp.asarray(np.asarray(self._tau_star)),
+            params=self._params, rayleigh_normalized=False,
+            tau_mix=self._tau_mix)
+
     @property
     def nitems(self) -> int:
         return self._n_real

@@ -59,7 +59,7 @@ def lambdas_dp_tp(stored_pad, lap_f, w_f, *, mesh: Mesh, n_real: int,
         r = jax.lax.psum(jnp.sum(w2_l, axis=1), MODEL_AXIS)   # [F]
         x2 = xl * xl
         x3 = x2 * xl
-        x2_cols, x3_cols, x4 = x2 * 1.0, None, x2 * x2
+        x4 = x2 * x2
         t1 = jnp.matmul(x4, r[:, None],
                         preferred_element_type=xl.dtype)[..., 0]
         t2 = jax.lax.psum(

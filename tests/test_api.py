@@ -1,8 +1,6 @@
 """API-surface and error-message parity with the reference binding
 (reference src/lib.rs, src/helpers.rs)."""
 
-import io
-import sys
 
 import numpy as np
 import pytest
@@ -140,3 +138,29 @@ def test_degenerate_graph_asserts_on_search():
     aspace, gl = ArrowSpaceBuilder.build(gp, items)
     with pytest.raises(AssertionError, match="lambdas are zero"):
         aspace.search(items[0], gl, 0.9)
+
+
+def test_fluent_builder_full_surface():
+    """The engine's fluent API incl. the previously dormant knobs
+    (reference src/lib.rs:278-289: with_lambda_graph, with_dims_reduction,
+    with_seed, with_sparsity_check, with_inline_sampling, with_spectral)."""
+    from pyarrowspace_tpu import ArrowSpaceBuilder, TauMode
+    rng = np.random.default_rng(19)
+    items = rng.normal(size=(40, 12)) + 0.3
+    aspace, gl = (ArrowSpaceBuilder.new()
+                  .with_lambda_graph(0.9, 5, 4, 2.0, 0.3)
+                  .with_dims_reduction(True, 0.9)
+                  .with_seed(42)
+                  .with_sparsity_check(False)
+                  .with_inline_sampling(0.8)
+                  .with_spectral(True)
+                  .with_normalisation(False)
+                  .with_synthesis(TauMode.MEDIAN)
+                  .build_rows(items))
+    assert gl.graph_params["eps"] == 0.9
+    spec = aspace.spectral_summary()
+    assert spec["spectral_radius"] > 0
+    assert spec["n_components"] >= 1
+    assert len(spec["eigenvalues"]) == 12
+    hits = aspace.search(items[3] * 1.02, gl, 0.8)
+    assert hits[0][0] == 3

@@ -100,3 +100,29 @@ def test_dp_tp_lambdas_match_single_chip():
                                rtol=1e-10)
     np.testing.assert_allclose(np.asarray(e2), np.asarray(e), rtol=1e-10)
     assert float(ts2) == pytest.approx(float(ts), rel=1e-12)
+
+
+def test_from_local_to_local_roundtrip(tmp_path):
+    """build locally -> save -> load -> shard for serving -> identical
+    results; then gather back to local."""
+    from pyarrowspace_tpu.io import load_index, save_index
+    from pyarrowspace_tpu.parallel import ShardedArrowSpace, make_mesh
+
+    rng = np.random.default_rng(55)
+    items = rng.normal(size=(200, 24)) + 0.3
+    aspace, gl = ArrowSpaceBuilder.build(GP_DICT, items)
+    path = str(tmp_path / "idx.npz")
+    save_index(path, aspace, gl)
+    loaded, gl2 = load_index(path)
+
+    sspace = ShardedArrowSpace.from_local(loaded, gl2, make_mesh(8))
+    queries = items[:4] * 1.02
+    si, sv = sspace.search_batch(queries, 0.62)
+    ai, av = aspace.search_batch(queries, gl, 0.62)
+    assert np.array_equal(si, ai)
+    np.testing.assert_allclose(sv, av, rtol=1e-8)
+
+    back = sspace.to_local()
+    np.testing.assert_allclose(back.lambdas(), aspace.lambdas(), rtol=1e-12)
+    assert back.search(queries[0], gl, 0.62) == aspace.search(queries[0],
+                                                              gl, 0.62)
