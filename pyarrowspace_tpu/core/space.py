@@ -218,6 +218,45 @@ class ArrowSpace:
                               self.nitems, capacity_factor)
         return self._ivf
 
+    def search_hybrid_batch(self, queries, gl: GraphLaplacian, tau: float,
+                            topk: Optional[int] = None):
+        """Batched hybrid search (multiplicative gate) — TPU-native extra."""
+        q = jnp.asarray(queries, dtype=self._data.dtype)
+        if q.ndim != 2 or q.shape[1] != self.nfeatures:
+            raise ValueError(
+                f"queries must be [Q, {self.nfeatures}], got {q.shape}")
+        topk = min(gl.params.topk if topk is None else int(topk),
+                   self.nitems)
+        e_un = rayleigh_batch(q, self._lap_f, normalized=False)
+        e_raw = (rayleigh_batch(q, self._lap_f, normalized=True)
+                 if self._rayleigh_normalized else e_un)
+        g = dispersion_batch(q, self._w_f, e_un)
+        lam_q = synthesize(e_raw, g, self._tau_star, self._tau_mix)
+        idx, vals = search_ops.hybrid_topk_batch(
+            self._data_unit, self._lambdas, q, lam_q,
+            jnp.asarray(tau, dtype=self._data.dtype), topk)
+        return np.asarray(idx), np.asarray(vals)
+
+    def search_energy_batch(self, queries, gl: GraphLaplacian, k: int,
+                            w_lambda: Optional[float] = None,
+                            w_dirichlet: Optional[float] = None):
+        """Batched energy-only search — TPU-native extra."""
+        q = jnp.asarray(queries, dtype=self._data.dtype)
+        if q.ndim != 2 or q.shape[1] != self.nfeatures:
+            raise ValueError(
+                f"queries must be [Q, {self.nfeatures}], got {q.shape}")
+        w_l = 1.0 if w_lambda is None else float(w_lambda)
+        w_d = 0.5 if w_dirichlet is None else float(w_dirichlet)
+        e_q = rayleigh_batch(q, self._lap_f, normalized=False)
+        g_q = dispersion_batch(q, self._w_f, e_q)
+        lam_q = synthesize(e_q, g_q, self._tau_star, self._tau_mix)
+        idx, vals = search_ops.energy_topk_batch(
+            self._lambdas, self._e_raw, lam_q, e_q,
+            jnp.asarray(w_l, dtype=self._data.dtype),
+            jnp.asarray(w_d, dtype=self._data.dtype),
+            min(int(k), self.nitems))
+        return np.asarray(idx), np.asarray(vals)
+
     def search_batch(self, queries, gl: GraphLaplacian, tau: float,
                      topk: Optional[int] = None, mode: str = "exact",
                      n_probe: int = 8):

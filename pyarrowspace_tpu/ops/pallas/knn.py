@@ -161,8 +161,11 @@ def _knn_pallas_all(xu_pad, eps, n_real, *, k, block_rows, col_tile,
 
 
 def knn_graph_candidates_pallas(xu: jnp.ndarray, k: int, eps: float,
-                                block_rows: int = 512, col_tile: int = 512,
+                                block_rows: int = 1024, col_tile: int = 2048,
                                 interpret: bool | None = None):
+    # Tile defaults from the 313k x 384 sweep on v5e: (1024, 2048) runs the
+    # full corpus in 6.95s vs 20.7s at (512, 512) — fewer grid steps
+    # amortize per-step overhead; fits the 64 MB scoped-VMEM budget.
     """Exact eps-filtered k-NN via the fused Pallas kernel.
 
     Same contract as ops.distance.knn_graph_candidates: (dist [N,k] f32,

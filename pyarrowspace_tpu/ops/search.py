@@ -98,6 +98,36 @@ def fused_query_pipeline(xu: jnp.ndarray, lambdas: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("topk",))
+def hybrid_topk_batch(xu: jnp.ndarray, lambdas: jnp.ndarray,
+                      q_batch: jnp.ndarray, lam_q: jnp.ndarray,
+                      tau: jnp.ndarray, topk: int):
+    """Batched hybrid ranking (multiplicative gate, see hybrid_topk)."""
+    qn = unit_normalize(q_batch.astype(_acc_dtype(q_batch.dtype)), axis=-1)
+    cos = jnp.matmul(qn.astype(xu.dtype), xu.T,
+                     preferred_element_type=_acc_dtype(xu.dtype))
+    lam32 = lambdas.astype(cos.dtype)
+    prox = 1.0 / (1.0 + jnp.abs(lam32[None, :]
+                                - lam_q.astype(cos.dtype)[:, None]))
+    t = tau.astype(cos.dtype)
+    score = cos * (t + (1.0 - t) * prox)
+    vals, idx = jax.lax.top_k(score, topk)
+    return idx, vals
+
+
+@functools.partial(jax.jit, static_argnames=("topk",))
+def energy_topk_batch(lambdas: jnp.ndarray, e_raw: jnp.ndarray,
+                      lam_q: jnp.ndarray, e_q: jnp.ndarray,
+                      w_lambda: jnp.ndarray, w_dirichlet: jnp.ndarray,
+                      topk: int):
+    """Batched energy-only ranking (no cosine): lam_q/e_q are [Q]."""
+    prox_l = 1.0 / (1.0 + jnp.abs(lambdas[None, :] - lam_q[:, None]))
+    prox_e = 1.0 / (1.0 + jnp.abs(e_raw[None, :] - e_q[:, None]))
+    score = w_lambda * prox_l + w_dirichlet * prox_e
+    vals, idx = jax.lax.top_k(score, topk)
+    return idx, vals
+
+
+@functools.partial(jax.jit, static_argnames=("topk",))
 def hybrid_topk(xu: jnp.ndarray, lambdas: jnp.ndarray, q: jnp.ndarray,
                 lam_q: jnp.ndarray, tau: jnp.ndarray, topk: int):
     """Hybrid ranking: multiplicative gate instead of an additive blend.

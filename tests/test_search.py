@@ -136,3 +136,27 @@ def test_bf16_serving_view(built):
     overlap = np.mean([len(set(fi[r]) & set(bi[r])) / fi.shape[1]
                        for r in range(10)])
     assert overlap >= 0.8, overlap
+
+
+def test_hybrid_batch_matches_single(built):
+    aspace, gl, items = built
+    rng = np.random.default_rng(11)
+    queries = rng.normal(size=(5, items.shape[1])) + 0.4
+    idx, vals = aspace.search_hybrid_batch(queries, gl, 0.8)
+    for r in range(5):
+        single = aspace.search_hybrid(queries[r], gl, 0.8)
+        assert list(idx[r]) == [i for i, _ in single]
+        np.testing.assert_allclose(vals[r], [s for _, s in single],
+                                   rtol=1e-6)
+
+
+def test_energy_batch_matches_single(built):
+    aspace, gl, items = built
+    rng = np.random.default_rng(12)
+    queries = rng.normal(size=(5, items.shape[1])) + 0.4
+    idx, vals = aspace.search_energy_batch(queries, gl, 7)
+    for r in range(5):
+        single = aspace.search_energy(queries[r], gl, 7)
+        assert list(idx[r]) == [i for i, _ in single]
+        np.testing.assert_allclose(vals[r], [s for _, s in single],
+                                   rtol=1e-6)
