@@ -76,21 +76,26 @@ def main():
         from pyarrowspace_tpu.ops.search import fused_query_pipeline
 
         q_batch = int(os.environ.get("BENCH_QBATCH", 4096))
-        queries = jnp.asarray(items[:q_batch] * 1.01)
-        tau = jnp.asarray(0.62, dtype=queries.dtype)
+        reps = 8
+        # Distinct query batches per rep — the runtime memoizes repeated
+        # executions with identical inputs.
+        rng_q = np.random.default_rng(7)
+        batches = [jnp.asarray(items[rng_q.choice(n, q_batch)] * 1.01)
+                   for _ in range(reps)]
+        tau = jnp.asarray(0.62, dtype=batches[0].dtype)
         args = dict(topk=gl.params.topk,
                     rayleigh_normalized=aspace._rayleigh_normalized,
                     tau_mix=aspace._tau_mix)
-        fused_query_pipeline(aspace._data_unit, aspace._lambdas,
-                             aspace._lap_f, aspace._w_f, aspace._tau_star,
-                             queries, tau, **args)[0].block_until_ready()
-        reps = 16
-        t0 = time.perf_counter()
+        warm = fused_query_pipeline(
+            aspace._data_unit, aspace._lambdas, aspace._lap_f, aspace._w_f,
+            aspace._tau_star, batches[-1], tau, **args)
+        _ = np.asarray(warm[0])   # force: block_until_ready is unreliable
+        t0 = time.perf_counter()  # through the tunneled runtime
         outs = [fused_query_pipeline(
                     aspace._data_unit, aspace._lambdas, aspace._lap_f,
-                    aspace._w_f, aspace._tau_star, queries, tau, **args)
-                for _ in range(reps)]
-        outs[-1][0].block_until_ready()
+                    aspace._w_f, aspace._tau_star, qb, tau, **args)
+                for qb in batches]
+        _ = [np.asarray(o[0])[0, 0] for o in outs]
         dt = time.perf_counter() - t0
         qps = q_batch * reps / dt
         print(f"# serving: {qps:,.0f} QPS (batch {q_batch}, N={n}, F={f})",

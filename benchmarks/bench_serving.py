@@ -56,29 +56,75 @@ def main():
     ts = derive_tau_star(e, TauMode.MEDIAN)
     g = dispersion_batch(x, w_f, e)
     lams = synthesize(e, g, ts, TAU_MIX)
-    queries = jnp.asarray(rng.standard_normal((q_batch, f),
-                                              dtype=np.float32))
+    lams.block_until_ready()
+    del x, e, g  # free the raw corpus (HBM is the constraint at 1M x 768)
+    # DISTINCT query batches per rep: the runtime can memoize repeated
+    # executions with identical inputs, which silently turns a throughput
+    # measurement into a cache hit.
+    reps = 6
+    query_batches = [jnp.asarray(rng.standard_normal((q_batch, f),
+                                                     dtype=np.float32))
+                     for _ in range(reps)]
     tau = jnp.float32(0.62)
 
-    def measure(xu_serv, name, reps=8):
+    def measure(xu_serv, name, backend):
+        # backend "pallas" streams corpus tiles through VMEM and never
+        # materializes the [Q, N] score matrix — required at 1M x 768,
+        # where the XLA path's score matrix alone is 16 GB.
         args = dict(topk=topk, rayleigh_normalized=False, tau_mix=TAU_MIX,
-                    backend="xla")
+                    backend=backend)
         lam_serv = lams.astype(jnp.float32)
-        fused_query_pipeline(xu_serv, lam_serv, lap_f, w_f, ts, queries,
-                             tau, **args)[0].block_until_ready()
-        t0 = time.perf_counter()
-        outs = [fused_query_pipeline(xu_serv, lam_serv, lap_f, w_f, ts,
-                                     queries, tau, **args)
-                for _ in range(reps)]
-        outs[-1][0].block_until_ready()
+        warm = fused_query_pipeline(xu_serv, lam_serv, lap_f, w_f, ts,
+                                    query_batches[-1], tau, **args)
+        _ = np.asarray(warm[0])   # force: block_until_ready is unreliable
+        t0 = time.perf_counter()  # through the tunneled runtime
+        outs = [fused_query_pipeline(xu_serv, lam_serv, lap_f, w_f, ts, qb,
+                                     tau, **args)
+                for qb in query_batches]
+        checks = [int(np.asarray(o[0])[0, 0]) for o in outs]
         dt = time.perf_counter() - t0
+        assert all(0 <= c < n for c in checks)
         qps = q_batch * reps / dt
         print(f"{name}: {qps:,.0f} QPS  ({dt / reps * 1000:.1f} ms/batch "
               f"of {q_batch}, N={n:,}, F={f})")
         return qps
 
-    measure(xu, "exact f32")
-    measure(xu.astype(jnp.bfloat16), "exact bf16")
+    backend = "pallas" if n * q_batch > 2**31 else "xla"
+    measure(xu, f"exact f32 ({backend})", backend)
+    measure(xu.astype(jnp.bfloat16), f"exact bf16 ({backend})", backend)
+
+    # IVF mode (opt-in): the current gather-based IVF materializes
+    # [Qb, n_probe*cap, F] candidates, which is fine up to ~100k items but
+    # needs a cluster-contiguous corpus layout at 1M scale (planned).
+    if os.environ.get("SERV_IVF", "0") == "1":
+        from pyarrowspace_tpu.ops.ivf import build_ivf, ivf_lambda_search
+        from pyarrowspace_tpu.reduction.pipeline import _lloyd
+        k_cl = int(os.environ.get("SERV_CLUSTERS", 4096))
+        sel = jnp.asarray(rng.choice(n, size=k_cl, replace=False))
+        cents, assigns = _lloyd(xu, xu[sel], 8)
+        ivf = build_ivf(cents, assigns, n, capacity_factor=2.0)
+        print(f"ivf: {k_cl} clusters, bucket cap "
+              f"{ivf.buckets.shape[1]}, tail {ivf.tail.shape[0]}")
+        qn = unit_normalize(query_batches[0])
+        lam_q = jnp.zeros((q_batch,), jnp.float32) + float(lams[0])
+        small = 256  # IVF gathers [Qb, n_probe*cap, F]; block queries
+        warm = ivf_lambda_search(xu, lams.astype(jnp.float32), ivf,
+                                 qn[:small], lam_q[:small], tau,
+                                 n_probe=8, topk=topk)
+        _ = np.asarray(warm[0])
+        t0 = time.perf_counter()
+        reps_done = 0
+        for qb in query_batches:
+            qbn = unit_normalize(qb)
+            for s in range(0, q_batch, small):
+                out = ivf_lambda_search(
+                    xu, lams.astype(jnp.float32), ivf, qbn[s:s + small],
+                    lam_q[:small], tau, n_probe=8, topk=topk)
+                reps_done += small
+        _ = np.asarray(out[0])
+        dt = time.perf_counter() - t0
+        print(f"ivf n_probe=8: {reps_done / dt:,.0f} QPS "
+              f"({k_cl} clusters, N={n:,}, F={f})")
 
 
 if __name__ == "__main__":

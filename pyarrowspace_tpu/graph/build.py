@@ -184,7 +184,10 @@ def _build_standard_inner(items, gp: GraphParams,
         tau_star = derive_tau_star(e_raw, gp.synthesis, gp.tau_fixed)
         g = dispersion_batch(stored, w_f, e_un)
         lambdas = synthesize(e_raw, g, tau_star, tau_mix)
-        lambdas.block_until_ready()
+        # Force a real host pull, not just block_until_ready: some tunneled
+        # runtimes report readiness before execution completes, which would
+        # leak build work past the caller's timer.
+        float(lambdas[-1])
 
     aspace = ArrowSpace._from_build(
         data=stored, data_unit=xu, lambdas=lambdas, e_raw=e_raw,

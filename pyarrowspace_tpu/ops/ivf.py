@@ -32,22 +32,23 @@ class IVFIndex(NamedTuple):
 
 def build_ivf(centroids, assignments, n_items: int,
               capacity_factor: float = 3.0) -> IVFIndex:
-    """Bucket items by cluster assignment (host-side, once per build)."""
+    """Bucket items by cluster assignment (host-side, once per build;
+    vectorized — a python loop is minutes at 1M items)."""
     cent = np.asarray(centroids)
     assign = np.asarray(assignments)
     k = cent.shape[0]
     cap = max(8, int(np.ceil(capacity_factor * n_items / k)))
+    order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[order]
+    # Rank of each item within its cluster.
+    starts = np.searchsorted(sorted_assign, np.arange(k))
+    rank = np.arange(n_items) - starts[sorted_assign]
+    in_bucket = rank < cap
     buckets = np.full((k, cap), -1, dtype=np.int32)
-    fill = np.zeros(k, dtype=np.int64)
-    tail = []
-    for i, c in enumerate(assign):
-        if fill[c] < cap:
-            buckets[c, fill[c]] = i
-            fill[c] += 1
-        else:
-            tail.append(i)
-    tail_arr = np.asarray(tail, dtype=np.int32) if tail else np.full(
-        (1,), -1, dtype=np.int32)
+    buckets[sorted_assign[in_bucket], rank[in_bucket]] = order[
+        in_bucket].astype(np.int32)
+    tail = order[~in_bucket].astype(np.int32)
+    tail_arr = tail if tail.size else np.full((1,), -1, dtype=np.int32)
     # Pad the tail to a lane multiple for clean gathers.
     pad = (-len(tail_arr)) % 128
     if pad:

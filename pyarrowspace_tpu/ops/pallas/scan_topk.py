@@ -152,10 +152,13 @@ def lambda_search_pallas(xu: jnp.ndarray, lambdas: jnp.ndarray,
     q_pad = ((q + qb - 1) // qb) * qb
     k = max(1, min(topk, n))
 
-    xu_pad = jnp.pad(xu.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    # bf16 corpora stay bf16 (2x MXU rate; the kernel accumulates f32);
+    # anything else runs f32.
+    scan_dtype = jnp.bfloat16 if xu.dtype == jnp.bfloat16 else jnp.float32
+    xu_pad = jnp.pad(xu.astype(scan_dtype), ((0, n_pad - n), (0, 0)))
     lam_pad = jnp.pad(lambdas.astype(jnp.float32),
                       (0, n_pad - n)).reshape(1, n_pad)
-    qn_pad = jnp.pad(qn.astype(jnp.float32), ((0, q_pad - q), (0, 0)))
+    qn_pad = jnp.pad(qn.astype(scan_dtype), ((0, q_pad - q), (0, 0)))
     lamq_pad = jnp.broadcast_to(
         jnp.pad(lam_q.astype(jnp.float32), (0, q_pad - q))[:, None],
         (q_pad, 128))
