@@ -108,6 +108,28 @@ class ArrowSpace:
                 f"{self.nfeatures}")
         return v
 
+    def _search_single(self, query, gl: GraphLaplacian, tau: float,
+                       kernel, check_lambda: bool
+                       ) -> list[tuple[int, float]]:
+        v = self._check_query(query)
+        lam_q = self.prepare_query_item(v, gl)
+        if check_lambda:
+            # Loud-failure parity (reference lib.rs:156-159): degenerate
+            # query lambda OR a degenerate (edgeless) signal graph — the
+            # reference's observed collapse mode when eps/magnitude are
+            # mismatched (BASELINE.md cross-scale failure rows).
+            assert lam_q != 0.0 and gl.nedges > 0, \
+                "The lambdas are zero, check the magnitude of items and eps."
+        dbg_println(f"search: qlen={v.shape[0]}, lambda_q={lam_q:.6f}")
+        topk = min(gl.params.topk, self.nitems)
+        q = jnp.asarray(v, dtype=self._data.dtype)
+        idx, vals = kernel(
+            self._data_unit, self._lambdas, q,
+            jnp.asarray(lam_q, dtype=self._data.dtype),
+            jnp.asarray(tau, dtype=self._data.dtype), topk)
+        return [(int(i), float(s)) for i, s in zip(np.asarray(idx),
+                                                   np.asarray(vals))]
+
     def search(self, query, gl: GraphLaplacian, tau: float
                ) -> list[tuple[int, float]]:
         """Lambda-aware search (parity: reference src/lib.rs:132-174).
@@ -115,39 +137,16 @@ class ArrowSpace:
         Returns graph_params.topk results as (index, score) descending.
         tau is the blend: score = tau*cos + (1-tau)*lambda-proximity.
         """
-        v = self._check_query(query)
-        lam_q = self.prepare_query_item(v, gl)
-        # Loud-failure parity (reference lib.rs:156-159): degenerate query
-        # lambda OR a degenerate (edgeless) signal graph — the reference's
-        # observed collapse mode when eps/magnitude are mismatched
-        # (BASELINE.md cross-scale sweep failure rows) — aborts the search.
-        assert lam_q != 0.0 and gl.nedges > 0, \
-            "The lambdas are zero, check the magnitude of items and eps."
-        dbg_println(f"search: qlen={v.shape[0]}, lambda_q={lam_q:.6f}")
-        topk = min(gl.params.topk, self.nitems)
-        q = jnp.asarray(v, dtype=self._data.dtype)
-        idx, vals = search_ops.lambda_aware_topk(
-            self._data_unit, self._lambdas, q,
-            jnp.asarray(lam_q, dtype=self._data.dtype),
-            jnp.asarray(tau, dtype=self._data.dtype), topk)
-        return [(int(i), float(s)) for i, s in zip(np.asarray(idx),
-                                                   np.asarray(vals))]
+        return self._search_single(query, gl, tau,
+                                   search_ops.lambda_aware_topk,
+                                   check_lambda=True)
 
     def search_hybrid(self, query, gl: GraphLaplacian, tau: float
                       ) -> list[tuple[int, float]]:
         """Hybrid lambda-aware search (reference src/lib.rs:182-219; no
         zero-lambda assert on this path, matching the reference)."""
-        v = self._check_query(query)
-        lam_q = self.prepare_query_item(v, gl)
-        dbg_println(f"search: qlen={v.shape[0]}, lambda_q={lam_q:.6f}")
-        topk = min(gl.params.topk, self.nitems)
-        q = jnp.asarray(v, dtype=self._data.dtype)
-        idx, vals = search_ops.hybrid_topk(
-            self._data_unit, self._lambdas, q,
-            jnp.asarray(lam_q, dtype=self._data.dtype),
-            jnp.asarray(tau, dtype=self._data.dtype), topk)
-        return [(int(i), float(s)) for i, s in zip(np.asarray(idx),
-                                                   np.asarray(vals))]
+        return self._search_single(query, gl, tau, search_ops.hybrid_topk,
+                                   check_lambda=False)
 
     def search_energy(self, query, gl: GraphLaplacian, k: int,
                       w_lambda: Optional[float] = None,
@@ -265,17 +264,18 @@ class ArrowSpace:
         The high-QPS serving path (BASELINE.json north-star).
 
         mode "exact" (default) scans the full corpus in one fused dispatch;
-        "ivf" routes through the n_probe nearest clusters (approximate,
-        O(K·F + n_probe·N/K·F) per query — call enable_ivf() first or it
-        is built on demand)."""
+        "ivf" routes through the n_probe nearest clusters per query
+        (gather-based, best up to ~10^5 items); "ivf_block" uses the
+        cluster-contiguous Pallas slab kernel (block-shared probes,
+        large-corpus scale).  Both are approximate; enable_ivf() is built
+        on demand."""
         q = jnp.asarray(queries, dtype=self._data.dtype)
         if q.ndim != 2 or q.shape[1] != self.nfeatures:
             raise ValueError(
                 f"queries must be [Q, {self.nfeatures}], got {q.shape}")
         topk = gl.params.topk if topk is None else int(topk)
         topk = min(topk, self.nitems)
-        if mode == "ivf":
-            from ..ops.ivf import ivf_lambda_search
+        if mode in ("ivf", "ivf_block"):
             from ..ops.distance import unit_normalize
             if getattr(self, "_ivf", None) is None:
                 self.enable_ivf()
@@ -284,6 +284,18 @@ class ArrowSpace:
                      if self._rayleigh_normalized else e_un)
             g = dispersion_batch(q, self._w_f, e_un)
             lam_q = synthesize(e_raw, g, self._tau_star, self._tau_mix)
+            if mode == "ivf_block":
+                from ..ops.pallas.ivf_scan import (blocked_ivf_search,
+                                                   build_blocked_ivf)
+                if getattr(self, "_ivf_blocked", None) is None:
+                    self._ivf_blocked = build_blocked_ivf(
+                        self._data_unit, self._lambdas, self._centroids,
+                        self._assignments)
+                idx, vals = blocked_ivf_search(
+                    self._ivf_blocked, unit_normalize(q), lam_q,
+                    float(tau), topk, n_probe=n_probe)
+                return np.asarray(idx), np.asarray(vals)
+            from ..ops.ivf import ivf_lambda_search
             idx, vals = ivf_lambda_search(
                 self._data_unit, self._lambdas, self._ivf,
                 unit_normalize(q), lam_q,

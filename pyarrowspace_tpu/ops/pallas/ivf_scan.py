@@ -1,0 +1,256 @@
+"""Cluster-contiguous blocked IVF — large-corpus accelerated serving.
+
+The gather-based IVF (ops/ivf.py) materializes [Q, n_probe*cap, F]
+candidates, which stops scaling around ~10^5 items.  This kernel keeps the
+corpus in a cluster-contiguous layout ([K, cap, F] slabs, padded) so a probe
+is a contiguous DMA, and routes per QUERY BLOCK:
+
+  1. route: query->centroid scores; queries are sorted by their top
+     centroid so blocks are coherent;
+  2. each block's probe list = the n_probe best clusters by the block's
+     summed routing scores (a [n_blocks, n_probe] scalar-prefetch table);
+  3. pallas grid (block, probe): the BlockSpec index_map reads the probe
+     table (PrefetchScalarGridSpec) and DMAs exactly that cluster's slab;
+     the lazy exact top-k merge (ops/pallas/scan_topk.py) accumulates in
+     VMEM across probes.
+
+Per-query compute drops from O(N·F) to O(K·F + n_probe·cap·F).  Approximate
+like any IVF (block-level routing trades a little recall for slab
+coherence); padding rows carry lambda = +inf and id = -1 so they can never
+score above a real item.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -3.0e38
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+class BlockedIVF(NamedTuple):
+    centroids_unit: jnp.ndarray  # [K, F]
+    slabs: jnp.ndarray           # [K * cap, F] cluster-contiguous, padded
+    slab_lambdas: jnp.ndarray    # [K * cap] (+inf on padding)
+    slab_ids: jnp.ndarray        # [K * cap] original item ids (-1 padding)
+    cap: int
+
+
+def build_blocked_ivf(xu, lambdas, centroids, assignments,
+                      capacity_factor: float = 2.0) -> BlockedIVF:
+    """Reorder the corpus cluster-contiguously with per-cluster padding.
+
+    Items beyond a cluster's capacity are appended into other clusters'
+    free slots, so the slab layout is a PARTITION of the corpus — every
+    item present exactly once, none unreachable (spilled items are simply
+    routed with their adopted cluster)."""
+    n = xu.shape[0]
+    k = centroids.shape[0]
+    assign = np.asarray(assignments)
+    cap = max(8, int(np.ceil(capacity_factor * n / k)))
+    order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[order]
+    starts = np.searchsorted(sorted_assign, np.arange(k))
+    rank = np.arange(n) - starts[sorted_assign]
+    in_slab = rank < cap
+    slot = np.full(k * cap, -1, dtype=np.int64)
+    slot_idx = sorted_assign[in_slab] * cap + rank[in_slab]
+    slot[slot_idx] = order[in_slab]
+    # Overflow items fill any remaining free slots (keeps every item
+    # reachable; they are simply routed with their adopted cluster).
+    overflow = order[~in_slab]
+    if overflow.size:
+        free = np.flatnonzero(slot < 0)
+        if free.size < overflow.size:  # cap guarantees total slots >= n
+            raise AssertionError("slab capacity accounting violated")
+        slot[free[: overflow.size]] = overflow
+
+    valid = slot >= 0
+    safe = np.where(valid, slot, 0)
+    slabs = np.asarray(xu)[safe]
+    slabs[~valid] = 0.0
+    lam = np.asarray(lambdas, dtype=np.float32)[safe]
+    lam[~valid] = np.float32(np.inf)
+    ids = np.where(valid, slot, -1).astype(np.int32)
+    cu = np.asarray(centroids)
+    cu = cu / np.maximum(np.linalg.norm(cu, axis=1, keepdims=True), 1e-30)
+    return BlockedIVF(jnp.asarray(cu, dtype=jnp.float32),
+                      jnp.asarray(slabs, dtype=jnp.float32),
+                      jnp.asarray(lam), jnp.asarray(ids), cap)
+
+
+def _ivf_kernel(probe_ref, tau_ref, qn_ref, lamq_ref, slab_ref, lam_ref,
+                id_ref, out_s_ref, out_i_ref, run_s, run_i, *, k: int,
+                cap: int):
+    p = pl.program_id(1)
+    n_probe = pl.num_programs(1)
+
+    @pl.when(p == 0)
+    def _init():
+        run_s[:] = jnp.full_like(run_s, _NEG_INF)
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    qn = qn_ref[:]                        # [QB, F]
+    nq = qn.shape[0]
+    tau = tau_ref[0]
+    cos = jax.lax.dot_general(qn, slab_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [QB,cap]
+    lam = lam_ref[0:1, :]                                          # [1,cap]
+    prox = 1.0 / (1.0 + jnp.abs(lam - lamq_ref[:, 0:1]))
+    score = tau * cos + (1.0 - tau) * prox
+    ids = id_ref[0:1, :]                                           # [1,cap]
+    ids_b = jnp.broadcast_to(ids, (nq, cap)).astype(jnp.int32)
+    score = jnp.where(ids_b < 0, _NEG_INF, score).astype(jnp.float32)
+
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (nq, k), 1)
+
+    def improving(carry):
+        sc, rs, _ = carry
+        return jnp.any(jnp.max(sc, axis=1, keepdims=True) > rs[:, k - 1:k])
+
+    def extract_insert(carry):
+        sc, rs, ri = carry
+        kth = rs[:, k - 1:k]
+        m = jnp.max(sc, axis=1, keepdims=True)
+        hit = sc == m
+        sel = jnp.min(jnp.where(hit, ids_b, _INT_MAX), axis=1,
+                      keepdims=True)
+        improves = m > kth
+        pos = jnp.sum((rs > m).astype(jnp.int32), axis=1, keepdims=True)
+        rs_shift = jnp.concatenate([rs[:, :1], rs[:, :-1]], axis=1)
+        ri_shift = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
+        ins_s = jnp.where(col_k < pos, rs,
+                          jnp.where(col_k == pos, m, rs_shift))
+        ins_i = jnp.where(col_k < pos, ri,
+                          jnp.where(col_k == pos, sel, ri_shift))
+        rs = jnp.where(improves, ins_s, rs)
+        ri = jnp.where(improves, ins_i, ri)
+        sc = jnp.where(hit & (ids_b == sel), _NEG_INF, sc)
+        sc = jnp.where(improves, sc, _NEG_INF)
+        return sc, rs, ri
+
+    _, rs, ri = jax.lax.while_loop(improving, extract_insert,
+                                   (score, run_s[:], run_i[:]))
+    run_s[:] = rs
+    run_i[:] = ri
+
+    @pl.when(p == n_probe - 1)
+    def _emit():
+        out_s_ref[:] = run_s[:]
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "q_block", "cap",
+                                             "n_probe", "interpret"))
+def _ivf_scan(slabs, lam_pad, id_pad, qn_pad, lamq_pad, probe_tbl, tau, *,
+              k, q_block, cap, n_probe, interpret=False):
+    q_pad, f = qn_pad.shape
+    n_qblocks = q_pad // q_block
+    tau_arr = jnp.asarray([tau], dtype=jnp.float32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # probe table, tau
+        grid=(n_qblocks, n_probe),
+        in_specs=[
+            pl.BlockSpec((q_block, f), lambda qb, p, probe, tau: (qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, 128), lambda qb, p, probe, tau: (qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, f),
+                         lambda qb, p, probe, tau: (probe[qb, p], 0),
+                         memory_space=pltpu.VMEM),     # probed cluster slab
+            pl.BlockSpec((1, cap),
+                         lambda qb, p, probe, tau: (0, probe[qb, p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cap),
+                         lambda qb, p, probe, tau: (0, probe[qb, p]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_block, k), lambda qb, p, probe, tau: (qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, k), lambda qb, p, probe, tau: (qb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_block, k), jnp.float32),
+            pltpu.VMEM((q_block, k), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_ivf_kernel, k=k, cap=cap),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
+        interpret=interpret,
+    )(probe_tbl, tau_arr, qn_pad, lamq_pad, slabs, lam_pad, id_pad)
+
+
+def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
+                       n_probe: int = 16, q_block: int = 16,
+                       interpret: bool | None = None):
+    # Defaults from the routing sweep: q_block=16 queries share a probe
+    # list; with top-2 demand votes per member, n_probe=16 gives ~0.97
+    # top-10 overlap with the exact scan on clustered data.
+    """Blocked IVF top-k: (idx [Q, topk] int32, scores [Q, topk] f32)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    q, f = qn.shape
+    kk = int(ivf.slab_lambdas.shape[0] // ivf.cap)
+    n_probe = max(1, min(n_probe, kk))
+    qb = min(q_block, max(8, 1 << (q - 1).bit_length()))
+    q_pad = ((q + qb - 1) // qb) * qb
+    k = max(1, min(topk, ivf.cap * n_probe))
+
+    qn32 = jnp.asarray(qn, dtype=jnp.float32)
+    # Route individual queries, then sort by top centroid for coherence.
+    sims_c = jnp.matmul(qn32, ivf.centroids_unit.T,
+                        preferred_element_type=jnp.float32)      # [Q, K]
+    top1 = jnp.argmax(sims_c, axis=1)
+    order = jnp.argsort(top1, stable=True)
+    inv = jnp.argsort(order, stable=True)
+    qn_sorted = qn32[order]
+    lamq_sorted = jnp.asarray(lam_q, dtype=jnp.float32)[order]
+    sims_sorted = sims_c[order]
+
+    qn_pad = jnp.pad(qn_sorted, ((0, q_pad - q), (0, 0)))
+    lamq_pad = jnp.broadcast_to(
+        jnp.pad(lamq_sorted, (0, q_pad - q))[:, None], (q_pad, 128))
+    sims_pad = jnp.pad(sims_sorted, ((0, q_pad - q), (0, 0)),
+                       constant_values=0.0)
+    # Block probe table: demand votes — each member query nominates its
+    # top-2 clusters (so with q_block <= n_probe/2 every member's best two
+    # clusters are guaranteed probed); remaining slots go to the clusters
+    # with the highest summed routing score.
+    n_vote = 2
+    _, top2 = jax.lax.top_k(sims_pad, min(n_vote, sims_pad.shape[1]))
+    votes = jnp.zeros(sims_pad.shape, dtype=jnp.float32)
+    rows = jnp.broadcast_to(
+        jnp.arange(sims_pad.shape[0])[:, None], top2.shape)
+    votes = votes.at[rows.reshape(-1), top2.reshape(-1)].add(1.0)
+    block_votes = jnp.sum(votes.reshape(q_pad // qb, qb, -1), axis=1)
+    block_sims = jnp.sum(sims_pad.reshape(q_pad // qb, qb, -1), axis=1)
+    sims_01 = (block_sims - block_sims.min()) / jnp.maximum(
+        block_sims.max() - block_sims.min(), 1e-9)
+    _, probe_tbl = jax.lax.top_k(block_votes + 0.5 * sims_01, n_probe)
+    probe_tbl = probe_tbl.astype(jnp.int32)
+
+    lam_row = ivf.slab_lambdas.reshape(1, -1)
+    id_row = ivf.slab_ids.reshape(1, -1)
+    s, i = _ivf_scan(ivf.slabs, lam_row, id_row, qn_pad, lamq_pad,
+                     probe_tbl, jnp.asarray(tau, dtype=jnp.float32),
+                     k=k, q_block=qb, cap=ivf.cap, n_probe=n_probe,
+                     interpret=interpret)
+    # Unsort back to the caller's query order.
+    return i[:q][inv[:q]], s[:q][inv[:q]]

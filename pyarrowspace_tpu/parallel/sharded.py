@@ -200,40 +200,6 @@ def _search_body(xl, ll, qb, lq, tau, topk):
     return fi, fv
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "mesh"))
-def _sharded_search(xu_pad, lambdas_pad, q, lam_q, tau, *, topk, mesh):
-    """Batched lambda-aware search over the sharded corpus."""
-
-    def body(xl, ll, qb, lq):
-        n_loc = xl.shape[0]
-        my = jax.lax.axis_index(DATA_AXIS)
-        qn = unit_normalize(qb, axis=-1)
-        cos = jax.lax.dot_general(qn, xl, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=xl.dtype)  # [Q,L]
-        prox = 1.0 / (1.0 + jnp.abs(ll[None, :] - lq[:, None]))
-        score = tau * cos + (1.0 - tau) * prox
-        vals, idx = jax.lax.top_k(score, topk)                      # [Q,topk]
-        gidx = my * n_loc + idx.astype(jnp.int32)
-        all_vals = jax.lax.all_gather(vals, DATA_AXIS)   # [d, Q, topk]
-        all_idx = jax.lax.all_gather(gidx, DATA_AXIS)
-        d = all_vals.shape[0]
-        merged_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(
-            qb.shape[0], d * topk)
-        merged_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(
-            qb.shape[0], d * topk)
-        fv, fpos = jax.lax.top_k(merged_v, topk)
-        fi = jnp.take_along_axis(merged_i, fpos, axis=1)
-        return fi, fv
-
-    # The final merge is computed identically on every shard from the
-    # all_gather'd candidates — replicated by construction (check_vma can't
-    # infer that).
-    fn = shard_map(body, mesh=mesh,
-                   in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
-                   out_specs=(P(), P()), check_vma=False)
-    return fn(xu_pad, lambdas_pad, q, lam_q)
-
-
 class ShardedArrowSpace:
     """Multi-chip ArrowSpace: row-sharded corpus + replicated spectral state.
 

@@ -50,3 +50,33 @@ def test_ivf_full_probe_is_exact(built):
     ai, av = aspace.search_batch(queries, gl, 0.62, mode="ivf", n_probe=40)
     assert np.array_equal(ei, ai)
     np.testing.assert_allclose(ev, av, rtol=1e-6)
+
+
+def test_blocked_ivf_recall_vs_exact(built):
+    """Cluster-contiguous slab IVF (mode=ivf_block): high overlap at
+    default probes; full coverage of the corpus partition."""
+    aspace, gl, items = built
+    aspace.enable_ivf(n_clusters=40)
+    rng = np.random.default_rng(3)
+    queries = items[rng.choice(2000, 32, replace=False)] * 1.02
+    ei, _ = aspace.search_batch(queries, gl, 0.62)
+    bi, _ = aspace.search_batch(queries, gl, 0.62, mode="ivf_block",
+                                n_probe=16)
+    overlap = np.mean([len(set(ei[r].tolist()) & set(bi[r].tolist())) / 10
+                       for r in range(32)])
+    assert overlap >= 0.85, overlap
+    # slab layout is a partition: every id present exactly once
+    ids = np.asarray(aspace._ivf_blocked.slab_ids)
+    assert sorted(ids[ids >= 0].tolist()) == list(range(2000))
+
+
+def test_blocked_ivf_full_probe_is_exact(built):
+    aspace, gl, items = built
+    aspace.enable_ivf(n_clusters=40)
+    rng = np.random.default_rng(4)
+    queries = items[rng.choice(2000, 8, replace=False)] * 1.05
+    ei, ev = aspace.search_batch(queries, gl, 0.62)
+    bi, bv = aspace.search_batch(queries, gl, 0.62, mode="ivf_block",
+                                 n_probe=40)
+    assert np.array_equal(ei, bi)
+    np.testing.assert_allclose(ev, bv, rtol=1e-5)
