@@ -84,6 +84,25 @@ def save_csv(path: Path, rows: list[dict]) -> None:
     print(f"wrote {path}")
 
 
+def save_parquet(path: Path, embeddings: np.ndarray,
+                 ids: list | None = None) -> bool:
+    """Export embeddings to parquet (the reference harness ships an
+    embeddings parquet exporter, tests/test_2_CVE_db.py:130-144).
+    Returns False when pandas/pyarrow are unavailable."""
+    try:
+        import pandas as pd
+        df = pd.DataFrame({
+            "id": ids if ids is not None else list(range(len(embeddings))),
+            "embedding": [row.tolist() for row in np.asarray(embeddings)],
+        })
+        df.to_parquet(path)
+        print(f"wrote {path}")
+        return True
+    except Exception as e:
+        print(f"parquet export unavailable: {e}")
+        return False
+
+
 def force_cpu_if_requested() -> None:
     """Honor ARROWSPACE_CPU=1 (useful off-TPU); must run before JAX init."""
     if os.environ.get("ARROWSPACE_CPU") == "1":

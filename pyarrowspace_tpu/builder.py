@@ -17,8 +17,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Mapping, Optional
 
-from .core.params import (DEFAULT_GRAPH_PARAMS, EnergyParams, GraphParams,
-                          TauMode, parse_energy_params, parse_graph_params)
+from .core.params import (DEFAULT_GRAPH_PARAMS, GraphParams, TauMode,
+                          parse_energy_params, parse_graph_params)
 from .core.laplacian import GraphLaplacian
 from .core.space import ArrowSpace
 from .graph.build import BuildConfig, DEFAULT_BUILD_CONFIG, build_standard

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .laplacian import GraphLaplacian
-from .params import GraphParams, TauMode
+from .params import GraphParams
 from ..ops import search as search_ops
 from ..ops.distance import unit_normalize
 from ..ops.rayleigh import rayleigh_batch, dispersion_batch

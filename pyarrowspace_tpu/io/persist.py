@@ -9,10 +9,8 @@ no pickle.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,6 @@ exact neighbor sets.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -55,6 +55,7 @@ def build_blocked_ivf(xu, lambdas, centroids, assignments,
     k = centroids.shape[0]
     assign = np.asarray(assignments)
     cap = max(8, int(np.ceil(capacity_factor * n / k)))
+    cap = ((cap + 127) // 128) * 128  # Mosaic block tiling: lane dim % 128
     order = np.argsort(assign, kind="stable")
     sorted_assign = assign[order]
     starts = np.searchsorted(sorted_assign, np.arange(k))
@@ -72,18 +73,21 @@ def build_blocked_ivf(xu, lambdas, centroids, assignments,
             raise AssertionError("slab capacity accounting violated")
         slot[free[: overflow.size]] = overflow
 
+    # Only the [K*cap] slot table crosses the host-device link; the corpus
+    # reorder itself is a device-side gather (round-tripping a multi-GB
+    # corpus through a tunneled host link costs minutes).
     valid = slot >= 0
-    safe = np.where(valid, slot, 0)
-    slabs = np.asarray(xu)[safe]
-    slabs[~valid] = 0.0
-    lam = np.asarray(lambdas, dtype=np.float32)[safe]
-    lam[~valid] = np.float32(np.inf)
-    ids = np.where(valid, slot, -1).astype(np.int32)
-    cu = np.asarray(centroids)
-    cu = cu / np.maximum(np.linalg.norm(cu, axis=1, keepdims=True), 1e-30)
-    return BlockedIVF(jnp.asarray(cu, dtype=jnp.float32),
-                      jnp.asarray(slabs, dtype=jnp.float32),
-                      jnp.asarray(lam), jnp.asarray(ids), cap)
+    safe_dev = jnp.asarray(np.where(valid, slot, 0).astype(np.int32))
+    valid_dev = jnp.asarray(valid)
+    slabs = jnp.where(valid_dev[:, None],
+                      jnp.asarray(xu, dtype=jnp.float32)[safe_dev], 0.0)
+    lam = jnp.where(valid_dev,
+                    jnp.asarray(lambdas, dtype=jnp.float32)[safe_dev],
+                    jnp.inf)
+    ids = jnp.asarray(np.where(valid, slot, -1).astype(np.int32))
+    cu = jnp.asarray(centroids, dtype=jnp.float32)
+    cu = cu / jnp.maximum(jnp.linalg.norm(cu, axis=1, keepdims=True), 1e-30)
+    return BlockedIVF(cu, slabs, lam, ids, cap)
 
 
 def _ivf_kernel(probe_ref, tau_ref, qn_ref, lamq_ref, slab_ref, lam_ref,
@@ -197,31 +201,22 @@ def _ivf_scan(slabs, lam_pad, id_pad, qn_pad, lamq_pad, probe_tbl, tau, *,
     )(probe_tbl, tau_arr, qn_pad, lamq_pad, slabs, lam_pad, id_pad)
 
 
-def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
-                       n_probe: int = 16, q_block: int = 16,
-                       interpret: bool | None = None):
-    # Defaults from the routing sweep: q_block=16 queries share a probe
-    # list; with top-2 demand votes per member, n_probe=16 gives ~0.97
-    # top-10 overlap with the exact scan on clustered data.
-    """Blocked IVF top-k: (idx [Q, topk] int32, scores [Q, topk] f32)."""
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
-    q, f = qn.shape
-    kk = int(ivf.slab_lambdas.shape[0] // ivf.cap)
-    n_probe = max(1, min(n_probe, kk))
-    qb = min(q_block, max(8, 1 << (q - 1).bit_length()))
+@functools.partial(jax.jit, static_argnames=("k", "qb", "q", "cap",
+                                             "n_probe", "interpret"))
+def _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
+                     lamq32, tau, *, k, qb, q, cap, n_probe, interpret):
+    """Routing + scan as ONE compiled program: eager per-op dispatch costs a
+    host round trip each on tunneled runtimes, which dominated small-batch
+    latency before fusion."""
     q_pad = ((q + qb - 1) // qb) * qb
-    k = max(1, min(topk, ivf.cap * n_probe))
-
-    qn32 = jnp.asarray(qn, dtype=jnp.float32)
     # Route individual queries, then sort by top centroid for coherence.
-    sims_c = jnp.matmul(qn32, ivf.centroids_unit.T,
+    sims_c = jnp.matmul(qn32, centroids_unit.T,
                         preferred_element_type=jnp.float32)      # [Q, K]
     top1 = jnp.argmax(sims_c, axis=1)
     order = jnp.argsort(top1, stable=True)
     inv = jnp.argsort(order, stable=True)
     qn_sorted = qn32[order]
-    lamq_sorted = jnp.asarray(lam_q, dtype=jnp.float32)[order]
+    lamq_sorted = lamq32[order]
     sims_sorted = sims_c[order]
 
     qn_pad = jnp.pad(qn_sorted, ((0, q_pad - q), (0, 0)))
@@ -229,12 +224,12 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
         jnp.pad(lamq_sorted, (0, q_pad - q))[:, None], (q_pad, 128))
     sims_pad = jnp.pad(sims_sorted, ((0, q_pad - q), (0, 0)),
                        constant_values=0.0)
-    # Block probe table: demand votes — each member query nominates its
+    # Block probe table: demand votes -- each member query nominates its
     # top-2 clusters (so with q_block <= n_probe/2 every member's best two
     # clusters are guaranteed probed); remaining slots go to the clusters
     # with the highest summed routing score.
-    n_vote = 2
-    _, top2 = jax.lax.top_k(sims_pad, min(n_vote, sims_pad.shape[1]))
+    n_vote = min(2, sims_pad.shape[1])
+    _, top2 = jax.lax.top_k(sims_pad, n_vote)
     votes = jnp.zeros(sims_pad.shape, dtype=jnp.float32)
     rows = jnp.broadcast_to(
         jnp.arange(sims_pad.shape[0])[:, None], top2.shape)
@@ -246,11 +241,33 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
     _, probe_tbl = jax.lax.top_k(block_votes + 0.5 * sims_01, n_probe)
     probe_tbl = probe_tbl.astype(jnp.int32)
 
-    lam_row = ivf.slab_lambdas.reshape(1, -1)
-    id_row = ivf.slab_ids.reshape(1, -1)
-    s, i = _ivf_scan(ivf.slabs, lam_row, id_row, qn_pad, lamq_pad,
-                     probe_tbl, jnp.asarray(tau, dtype=jnp.float32),
-                     k=k, q_block=qb, cap=ivf.cap, n_probe=n_probe,
-                     interpret=interpret)
+    lam_row = slab_lambdas.reshape(1, -1)
+    id_row = slab_ids.reshape(1, -1)
+    s, i = _ivf_scan(slabs, lam_row, id_row, qn_pad, lamq_pad,
+                     probe_tbl, tau, k=k, q_block=qb, cap=cap,
+                     n_probe=n_probe, interpret=interpret)
     # Unsort back to the caller's query order.
     return i[:q][inv[:q]], s[:q][inv[:q]]
+
+
+def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
+                       n_probe: int = 16, q_block: int = 16,
+                       interpret: bool | None = None):
+    """Blocked IVF top-k: (idx [Q, topk] int32, scores [Q, topk] f32).
+
+    Defaults from the routing sweep: q_block=16 queries share a probe list;
+    with top-2 demand votes per member, n_probe=16 gives ~0.97 top-10
+    overlap with the exact scan on clustered data."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    q, _f = qn.shape
+    n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
+    n_probe = max(1, min(n_probe, n_clusters))
+    qb = min(q_block, max(8, 1 << (q - 1).bit_length()))
+    k = max(1, min(topk, ivf.cap * n_probe))
+    return _blocked_ivf_jit(
+        ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
+        jnp.asarray(qn, dtype=jnp.float32),
+        jnp.asarray(lam_q, dtype=jnp.float32),
+        jnp.asarray(tau, dtype=jnp.float32),
+        k=k, qb=qb, q=q, cap=ivf.cap, n_probe=n_probe, interpret=interpret)

@@ -42,7 +42,7 @@ from ..graph.feature import laplacian_from_sq_dists
 from ..ops.distance import unit_normalize, kernel_weights
 from ..ops.rayleigh import dispersion_batch, rayleigh_batch
 from ..ops.symmetrize import symmetrize_to_ell
-from ..spectral.taumode import TAU_MIX, derive_tau_star, synthesize
+from ..spectral.taumode import TAU_MIX, synthesize
 from ..utils.debug import dbg_println, phase
 from .mesh import DATA_AXIS, make_mesh
 
