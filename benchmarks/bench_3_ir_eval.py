@@ -35,8 +35,13 @@ def run_eval(corpus, groups, graph_params=GRAPH_PARAMS, tau=TAU,
     rng = np.random.default_rng(seed)
     per_group = len(next(iter(groups))) if groups else 0
     qidx = rng.choice(corpus.shape[0], size=n_queries, replace=False)
-    queries = corpus[qidx] + 0.05 * np.abs(corpus).mean() * rng.normal(
-        size=(n_queries, corpus.shape[1]))
+    # Ambiguous queries: each mixes in a distractor cluster's direction so
+    # retrieval is genuinely hard and metrics move across configs (pure
+    # in-cluster noise leaves high-dim clusters trivially separable).
+    distractor = corpus[rng.permutation(qidx)]
+    queries = (0.7 * corpus[qidx] + 0.68 * distractor
+               + 0.1 * np.abs(corpus).mean() * rng.normal(
+                   size=(n_queries, corpus.shape[1])))
 
     runs = {}
     for name, t in [("cosine", 1.0), ("lambda", tau)]:

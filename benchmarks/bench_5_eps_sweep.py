@@ -29,8 +29,13 @@ def main():
         n_groups=300, per_group=50, dim=768, noise=0.3, scaling=100.0)
     rng = np.random.default_rng(5)
     qidx = rng.choice(corpus.shape[0], size=50, replace=False)
-    queries = corpus[qidx] + 0.05 * np.abs(corpus).mean() * rng.normal(
-        size=(50, corpus.shape[1]))
+    # Ambiguous queries: each mixes in a distractor cluster's direction so
+    # retrieval is genuinely hard and metrics move across configs (pure
+    # in-cluster noise leaves high-dim clusters trivially separable).
+    distractor = corpus[rng.permutation(qidx)]
+    queries = (0.7 * corpus[qidx] + 0.68 * distractor
+               + 0.1 * np.abs(corpus).mean() * rng.normal(
+                   size=(50, corpus.shape[1])))
     relevant = [groups[qi // 50] - {qi} for qi in qidx]
 
     sweep = {}

@@ -157,11 +157,16 @@ def knn_graph_candidates_chunked(xu: jnp.ndarray, k: int, eps: float,
     """
     n, f = xu.shape
     k_eff = max(1, min(k, n - 1)) if n > 1 else 1
+    # Alignment chain: tile | chunk | seg | n_pad, so every slice in the
+    # two loops below is exact.  (An lcm of arbitrary seg/chunk values can
+    # explode to tens of millions of padding rows — e.g. lcm(16384, 15000)
+    # = 30.7M; keep everything a multiple of the next-smaller unit instead.)
     tile = min(col_tile, _ceil_to(n, 128))
+    chunk = min(row_chunk, _ceil_to(n, tile))
+    chunk = _ceil_to(chunk, tile)
     seg = min(col_segment, _ceil_to(n, tile))
-    seg = _ceil_to(seg, tile)
-    chunk = min(row_chunk, _ceil_to(n, 8))
-    n_pad = _ceil_to(max(n, seg, chunk), int(np.lcm(seg, chunk)))
+    seg = _ceil_to(seg, chunk)
+    n_pad = _ceil_to(n, seg)
     xu_pad = jnp.pad(xu, ((0, n_pad - n), (0, 0)))
     eps_t = jnp.asarray(eps, dtype=xu.dtype)
     n_real = jnp.int32(n)
