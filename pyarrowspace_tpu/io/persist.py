@@ -57,6 +57,14 @@ def save_index(path: str, aspace: ArrowSpace, gl: GraphLaplacian) -> None:
     if aspace._centroids is not None:
         arrays["centroids"] = np.asarray(aspace._centroids)
         arrays["assignments"] = np.asarray(aspace._assignments)
+    emaps = getattr(aspace, "_energy_maps", None)
+    if emaps is not None:
+        arrays["em_nodes"] = np.asarray(emaps.nodes)
+        arrays["em_lambda"] = np.asarray(emaps.node_lambda)
+        arrays["em_disp"] = np.asarray(emaps.node_disp)
+        arrays["em_dirichlet"] = np.asarray(emaps.node_dirichlet)
+        arrays["em_centroid"] = np.asarray(emaps.node_centroid)
+        arrays["em_candidate_m"] = np.asarray([emaps.candidate_m])
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:  # file handle: savez won't append ".npz"
         np.savez(fh, **arrays)
@@ -93,5 +101,14 @@ def load_index(path: str) -> tuple[ArrowSpace, GraphLaplacian]:
         centroids=jnp.asarray(z["centroids"]) if "centroids" in z else None,
         assignments=(jnp.asarray(z["assignments"])
                      if "assignments" in z else None))
+    if "em_nodes" in z:
+        from ..energy.maps import EnergyMaps
+        aspace._energy_maps = EnergyMaps(
+            nodes=jnp.asarray(z["em_nodes"]),
+            node_lambda=jnp.asarray(z["em_lambda"]),
+            node_disp=jnp.asarray(z["em_disp"]),
+            node_dirichlet=jnp.asarray(z["em_dirichlet"]),
+            node_centroid=jnp.asarray(z["em_centroid"]),
+            candidate_m=int(z["em_candidate_m"][0]))
     dbg_println(f"loaded index from {path}: nitems={aspace.nitems}")
     return aspace, gl

@@ -46,3 +46,22 @@ def test_version_check(tmp_path):
         np.savez(fh, **z)
     with pytest.raises(ValueError, match="unsupported index format"):
         load_index(path)
+
+
+def test_energy_space_roundtrip(tmp_path):
+    """Energy-built spaces keep their EnergyMaps routing table across
+    save/load (identical search_energy results, including the
+    candidate-pool routing path)."""
+    from pyarrowspace_tpu.builder import ArrowSpaceBuilder as B
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(20, 24))
+    items = (np.repeat(base, 30, axis=0)
+             + 0.2 * rng.normal(size=(600, 24))) * 12
+    aspace, gle = B.build_energy(items, {"optical_tokens": 20}, GP)
+    path = str(tmp_path / "energy.npz")
+    save_index(path, aspace, gle)
+    a2, gle2 = load_index(path)
+    assert a2._energy_maps is not None
+    assert a2._energy_maps.candidate_m == aspace._energy_maps.candidate_m
+    q = items[123] * 1.01
+    assert a2.search_energy(q, gle2, 12) == aspace.search_energy(q, gle, 12)
