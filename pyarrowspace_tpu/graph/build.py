@@ -81,10 +81,16 @@ def validate_items(items) -> np.ndarray:
         raise ValueError("items must be non-empty 2D array")
     n, d = arr.shape
     dbg_println(f"items shape: ({n}, {d})")
-    dbg_println(f"items[0][:5]: {list(np.asarray(arr[0][:5], dtype=float))}")
-    nan_cnt = int(np.isnan(arr).sum())
-    inf_cnt = int(np.isinf(arr).sum())
-    dbg_println(f"NaNs: {nan_cnt}, Infs: {inf_cnt}")
+    # The NaN/Inf scan's only observable effect is the debug line
+    # (reference src/helpers.rs:24-46 counts them to log); skip the ~1 s
+    # host pass over large corpora when debug is off.
+    from ..utils.debug import debug_enabled
+    if debug_enabled():
+        dbg_println(
+            f"items[0][:5]: {list(np.asarray(arr[0][:5], dtype=float))}")
+        nan_cnt = int(np.isnan(arr).sum())
+        inf_cnt = int(np.isinf(arr).sum())
+        dbg_println(f"NaNs: {nan_cnt}, Infs: {inf_cnt}")
     return arr
 
 
@@ -115,7 +121,13 @@ def _build_standard_inner(items, gp: GraphParams,
     reset_phase_timings()
     arr = validate_items(items)
     dtype = _pick_dtype(arr)
-    x = jnp.asarray(arr, dtype=dtype)
+    # Host->device transfer is the dominant build cost on tunneled TPU
+    # runtimes; ops/ingest.py streams it in ~64 MB row chunks (2-3x the
+    # monolithic jnp.asarray throughput, measured).  Dispatch is async, so
+    # the normalize below overlaps with the tail of the transfer.
+    with phase("ingest"):
+        from ..ops.ingest import ingest_corpus
+        x = ingest_corpus(arr, dtype)
     n, f = x.shape
     sigma = gp.sigma_resolved
     cfg_line = (
