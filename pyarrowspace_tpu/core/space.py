@@ -118,8 +118,12 @@ class ArrowSpace:
             # query lambda OR a degenerate (edgeless) signal graph — the
             # reference's observed collapse mode when eps/magnitude are
             # mismatched (BASELINE.md cross-scale failure rows).
-            assert lam_q != 0.0 and gl.nedges > 0, \
-                "The lambdas are zero, check the magnitude of items and eps."
+            # Explicit raise (not a bare assert) so the check survives
+            # `python -O`, matching the reference's unconditional assert_ne!.
+            if lam_q == 0.0 or gl.nedges == 0:
+                raise AssertionError(
+                    "The lambdas are zero, check the magnitude of items "
+                    "and eps.")
         dbg_println(f"search: qlen={v.shape[0]}, lambda_q={lam_q:.6f}")
         topk = min(gl.params.topk, self.nitems)
         q = jnp.asarray(v, dtype=self._data.dtype)

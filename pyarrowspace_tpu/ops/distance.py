@@ -208,9 +208,15 @@ def knn_graph_candidates(xu: jnp.ndarray, k: int, eps: float,
     """
     n, _ = xu.shape
     k_eff = max(1, min(k, n - 1)) if n > 1 else 1
+    # Alignment chain (same rationale as the chunked path): block must
+    # divide tile so the padded size is just a tile multiple — an lcm of
+    # arbitrary block/tile pairs explodes (e.g. lcm(1000, 1024) = 128000
+    # padded rows for a 1000-row corpus).
+    import math
     tile = min(col_tile, _ceil_to(n, 128))
-    block = min(block_rows, _ceil_to(n, 8))
-    n_pad = _ceil_to(max(n, max(tile, block)), int(np.lcm(tile, block)))
+    block = min(block_rows, tile)
+    block = 128 * math.gcd(tile // 128, max(1, block // 128))
+    n_pad = _ceil_to(max(n, tile), tile)
     xu_pad = jnp.pad(xu, ((0, n_pad - n), (0, 0)))
     d, i = _knn_all_blocks(
         xu_pad, k=k_eff, block_rows=block, col_tile=tile, n_real=n,

@@ -34,7 +34,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.laplacian import GraphLaplacian
-from ..core.params import GraphParams
+from ..core.params import GraphParams, TauMode
 from ..core.space import ArrowSpace
 from ..graph.build import BuildConfig, DEFAULT_BUILD_CONFIG, validate_items, \
     _pick_dtype
@@ -159,23 +159,38 @@ def _sharded_col_sq_dists(x_pad, *, mesh):
 
 
 @functools.partial(jax.jit, static_argnames=("n_real", "mesh",
-                                             "rayleigh_normalized"))
+                                             "rayleigh_normalized",
+                                             "synthesis", "tau_fixed"))
 def _sharded_lambdas(stored_pad, lap_f, w_f, *, n_real, mesh,
-                     rayleigh_normalized, tau_mix):
-    """Shard-local Rayleigh/dispersion; exact global median tau*."""
+                     rayleigh_normalized, tau_mix,
+                     synthesis=TauMode.MEDIAN, tau_fixed=None):
+    """Shard-local Rayleigh/dispersion; exact global tau* dispatched on the
+    synthesis mode (same semantics as spectral.taumode.derive_tau_star)."""
 
     def body(xl, lap, wf):
         e_un = rayleigh_batch(xl, lap, normalized=False)
         e = (rayleigh_batch(xl, lap, normalized=True)
              if rayleigh_normalized else e_un)
         g = dispersion_batch(xl, wf, e_un)
-        e_all = jax.lax.all_gather(e, DATA_AXIS, tiled=True)   # [N_pad]
-        # Exact median over the first n_real entries (padding sorts last).
-        mask = jnp.arange(e_all.shape[0]) < n_real
-        e_sorted = jnp.sort(jnp.where(mask, e_all, jnp.inf))
-        lo = e_sorted[(n_real - 1) // 2]
-        hi = e_sorted[n_real // 2]
-        tau_star = jnp.maximum(0.5 * (lo + hi), 1e-10)
+        if synthesis == TauMode.FIXED:
+            if tau_fixed is None:
+                raise ValueError("TauMode.FIXED requires tau_fixed")
+            tau_star = jnp.asarray(tau_fixed, dtype=e.dtype)
+        else:
+            e_all = jax.lax.all_gather(e, DATA_AXIS, tiled=True)  # [N_pad]
+            mask = jnp.arange(e_all.shape[0]) < n_real  # padding excluded
+            if synthesis == TauMode.MEDIAN:
+                e_sorted = jnp.sort(jnp.where(mask, e_all, jnp.inf))
+                lo = e_sorted[(n_real - 1) // 2]
+                hi = e_sorted[n_real // 2]
+                t = 0.5 * (lo + hi)
+            elif synthesis == TauMode.MEAN:
+                t = jnp.sum(jnp.where(mask, e_all, 0.0)) / n_real
+            elif synthesis == TauMode.MAX:
+                t = jnp.max(jnp.where(mask, e_all, -jnp.inf))
+            else:  # pragma: no cover
+                raise ValueError(f"unknown TauMode {synthesis}")
+            tau_star = jnp.maximum(t, 1e-10)
         lam = synthesize(e, g, tau_star, tau_mix)
         return lam, e, tau_star
 
@@ -188,17 +203,21 @@ def _sharded_lambdas(stored_pad, lap_f, w_f, *, n_real, mesh,
     return fn(stored_pad, lap_f, w_f)
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "mesh", "tau_mix"))
+@functools.partial(jax.jit, static_argnames=("topk", "mesh", "tau_mix",
+                                             "rayleigh_normalized"))
 def _sharded_search_fused(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star, tau,
-                          *, topk, mesh, tau_mix):
+                          *, topk, mesh, tau_mix,
+                          rayleigh_normalized=False):
     """One compiled program for the whole sharded serving step: replicated
     query-lambda synthesis fused with the per-shard scan + all_gather merge
     (single dispatch — same rationale as ops/search.fused_query_pipeline)."""
 
     def body(xl, ll, qb, lap, wf, ts, tt):
         e_un = rayleigh_batch(qb, lap, normalized=False)
+        e = (rayleigh_batch(qb, lap, normalized=True)
+             if rayleigh_normalized else e_un)
         g = dispersion_batch(qb, wf, e_un)
-        lq = synthesize(e_un, g, ts, tau_mix)
+        lq = synthesize(e, g, ts, tau_mix)
         return _search_body(xl, ll, qb, lq, tt, topk)
 
     fn = shard_map(body, mesh=mesh,
@@ -240,7 +259,8 @@ class ShardedArrowSpace:
 
     def __init__(self, mesh: Mesh, xu_pad, stored_pad, lambdas_pad, e_pad,
                  lap_f, w_f, tau_star, params: GraphParams, n_real: int,
-                 tau_mix: float = TAU_MIX):
+                 tau_mix: float = TAU_MIX, rayleigh_normalized: bool = False,
+                 centroids=None, assignments=None):
         self.mesh = mesh
         self._xu_pad = xu_pad
         self._stored_pad = stored_pad
@@ -252,6 +272,9 @@ class ShardedArrowSpace:
         self._params = params
         self._n_real = n_real
         self._tau_mix = tau_mix
+        self._rayleigh_normalized = rayleigh_normalized
+        self._centroids = centroids
+        self._assignments = assignments
 
     @classmethod
     def from_local(cls, aspace, gl, mesh: Optional[Mesh] = None
@@ -279,7 +302,10 @@ class ShardedArrowSpace:
                    jax.device_put(aspace._lap_f, NamedSharding(mesh, P())),
                    jax.device_put(aspace._w_f, NamedSharding(mesh, P())),
                    aspace._tau_star, aspace._params, n,
-                   tau_mix=aspace._tau_mix)
+                   tau_mix=aspace._tau_mix,
+                   rayleigh_normalized=aspace._rayleigh_normalized,
+                   centroids=aspace._centroids,
+                   assignments=aspace._assignments)
 
     def to_local(self):
         """Materialize back to a single-chip ArrowSpace (gathers shards)."""
@@ -293,8 +319,10 @@ class ShardedArrowSpace:
             lap_f=jnp.asarray(np.asarray(self._lap_f)),
             w_f=jnp.asarray(np.asarray(self._w_f)),
             tau_star=jnp.asarray(np.asarray(self._tau_star)),
-            params=self._params, rayleigh_normalized=False,
-            tau_mix=self._tau_mix)
+            params=self._params,
+            rayleigh_normalized=self._rayleigh_normalized,
+            tau_mix=self._tau_mix, centroids=self._centroids,
+            assignments=self._assignments)
 
     @property
     def nitems(self) -> int:
@@ -315,8 +343,10 @@ class ShardedArrowSpace:
     def prepare_queries(self, queries) -> jnp.ndarray:
         q = jnp.asarray(queries, dtype=self._stored_pad.dtype)
         e_un = rayleigh_batch(q, self._lap_f, normalized=False)
+        e = (rayleigh_batch(q, self._lap_f, normalized=True)
+             if self._rayleigh_normalized else e_un)
         g = dispersion_batch(q, self._w_f, e_un)
-        return synthesize(e_un, g, self._tau_star, self._tau_mix)
+        return synthesize(e, g, self._tau_star, self._tau_mix)
 
     def search_batch(self, queries, tau: float, topk: Optional[int] = None):
         """(indices [Q, topk], scores [Q, topk]) — the multi-chip serving
@@ -327,7 +357,8 @@ class ShardedArrowSpace:
         idx, vals = _sharded_search_fused(
             self._xu_pad, self._lambdas_pad, q, self._lap_f, self._w_f,
             self._tau_star, jnp.asarray(tau, dtype=q.dtype), topk=topk,
-            mesh=self.mesh, tau_mix=self._tau_mix)
+            mesh=self.mesh, tau_mix=self._tau_mix,
+            rayleigh_normalized=self._rayleigh_normalized)
         return np.asarray(idx), np.asarray(vals)
 
 
@@ -335,7 +366,9 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
                   config: BuildConfig = DEFAULT_BUILD_CONFIG
                   ) -> tuple[ShardedArrowSpace, GraphLaplacian]:
     """Multi-chip standard build; numerically identical to the single-chip
-    pipeline (exact k-NN, exact Gram, exact median)."""
+    pipeline (exact k-NN, exact Gram, exact tau* for every synthesis mode,
+    and the same reduction policy — centroid signals feed the feature
+    Laplacian when dims_reduction && n >= reduction_min_n)."""
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -372,20 +405,45 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
     gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
                                   n_dropped=int(n_dropped))
 
+    # Reduction stage — same policy as the single-chip build (graph/build.py):
+    # when dims_reduction is on and the corpus is big enough, the feature
+    # Laplacian is built from centroid signals, not the full corpus columns.
+    # reduce_corpus runs replicated on the unsharded input (it is a sampled
+    # k-means over <=60% of rows — negligible next to the ring k-NN) so the
+    # centroids are bit-identical to the single-chip stage.
+    centroids = None
+    assignments = None
+    if gp.dims_reduction and n >= config.reduction_min_n:
+        with phase("sharded_reduction"):
+            from ..reduction import reduce_corpus
+            from ..reduction.pipeline import SAMPLING_KEEP_RATE
+            keep = (config.sampling_rate if config.sampling_rate is not None
+                    else SAMPLING_KEEP_RATE)
+            stored_local = unit_normalize(x) if gp.normalise else x
+            red = reduce_corpus(stored_local, seed=gp.seed, keep_rate=keep)
+            centroids, assignments = red.centroids, red.assignments
+
     with phase("sharded_feature_laplacian"):
-        d2_cols = _sharded_col_sq_dists(stored_pad, mesh=mesh)
         k_f = config.feature_k if config.feature_k is not None else gp.topk
-        w_f, lap_f, _ = laplacian_from_sq_dists(d2_cols, k_f=k_f)
+        if centroids is not None:
+            from ..graph.feature import build_feature_laplacian
+            w_f, lap_f, _ = build_feature_laplacian(centroids, k_f=k_f)
+        else:
+            d2_cols = _sharded_col_sq_dists(stored_pad, mesh=mesh)
+            w_f, lap_f, _ = laplacian_from_sq_dists(d2_cols, k_f=k_f)
 
     tau_mix = TAU_MIX if config.tau_mix is None else config.tau_mix
     with phase("sharded_lambdas"):
         lambdas_pad, e_pad, tau_star = _sharded_lambdas(
             stored_pad, lap_f, w_f, n_real=n, mesh=mesh,
             rayleigh_normalized=config.rayleigh_normalized,
-            tau_mix=tau_mix)
+            tau_mix=tau_mix, synthesis=gp.synthesis,
+            tau_fixed=gp.tau_fixed)
 
     dbg_println(f"sharded build: n={n} over {n_dev} devices, "
                 f"tau_star={float(tau_star):.6g}")
     sspace = ShardedArrowSpace(mesh, xu_pad, stored_pad, lambdas_pad, e_pad,
-                               lap_f, w_f, tau_star, gp, n, tau_mix)
+                               lap_f, w_f, tau_star, gp, n, tau_mix,
+                               rayleigh_normalized=config.rayleigh_normalized,
+                               centroids=centroids, assignments=assignments)
     return sspace, gl

@@ -126,3 +126,69 @@ def test_from_local_to_local_roundtrip(tmp_path):
     np.testing.assert_allclose(back.lambdas(), aspace.lambdas(), rtol=1e-12)
     assert back.search(queries[0], gl, 0.62) == aspace.search(queries[0],
                                                               gl, 0.62)
+
+
+def test_sharded_reduction_parity_large():
+    """>=4096 items: the sharded build must take the same reduction path as
+    the single-chip build (centroid signals feed the feature Laplacian) and
+    reproduce its lambdas/tau* exactly (ADVICE round-1 high finding)."""
+    rng = np.random.default_rng(9)
+    items = rng.normal(size=(4608, 24)) + 0.3
+    gp = parse_graph_params({"eps": 0.8, "k": 4, "topk": 5, "p": 2.0,
+                             "sigma": 0.3})
+    import dataclasses
+    gp = dataclasses.replace(gp, dims_reduction=True, seed=42)
+    sspace, sgl = build_sharded(items, gp, make_mesh(8))
+    aspace, agl = ArrowSpaceBuilder.build(
+        {"eps": 0.8, "k": 4, "topk": 5, "p": 2.0, "sigma": 0.3}, items)
+    assert sspace._centroids is not None, \
+        "sharded build skipped the reduction stage"
+    np.testing.assert_allclose(sspace.lambdas(), aspace.lambdas(), rtol=1e-8)
+    assert sspace.tau_star == pytest.approx(aspace.tau_star, rel=1e-10)
+    queries = items[:3] * 1.03
+    si, sv = sspace.search_batch(queries, 0.62)
+    ai, av = aspace.search_batch(queries, agl, 0.62)
+    assert np.array_equal(si, ai)
+
+
+def test_sharded_synthesis_modes():
+    """tau* must dispatch on gp.synthesis (MEAN/MAX/FIXED), matching the
+    single-chip derive_tau_star — not hardcoded median."""
+    import dataclasses
+    from pyarrowspace_tpu.core.params import TauMode
+    from pyarrowspace_tpu.graph.build import build_standard
+
+    rng = np.random.default_rng(11)
+    items = rng.normal(size=(96, 16)) + 0.3
+    base = parse_graph_params({"eps": 0.9, "k": 4, "topk": 5, "p": 2.0,
+                               "sigma": 0.3})
+    for mode, tf in ((TauMode.MEAN, None), (TauMode.MAX, None),
+                     (TauMode.FIXED, 0.37)):
+        gp = dataclasses.replace(base, synthesis=mode, tau_fixed=tf)
+        sspace, _ = build_sharded(items, gp, make_mesh(4))
+        aspace, _ = build_standard(items, gp)
+        np.testing.assert_allclose(sspace.lambdas(), aspace.lambdas(),
+                                   rtol=1e-8, err_msg=str(mode))
+        assert sspace.tau_star == pytest.approx(aspace.tau_star, rel=1e-8)
+
+
+def test_sharded_rayleigh_normalized_carried():
+    """rayleigh_normalized must survive from_local -> serving -> to_local
+    (ADVICE round-1 medium finding)."""
+    from pyarrowspace_tpu.graph.build import BuildConfig, build_standard
+    from pyarrowspace_tpu.parallel import ShardedArrowSpace
+
+    rng = np.random.default_rng(13)
+    items = rng.normal(size=(160, 24)) + 0.3
+    gp = parse_graph_params(GP_DICT)
+    cfg = BuildConfig(rayleigh_normalized=True)
+    aspace, gl = build_standard(items, gp, cfg)
+    sspace = ShardedArrowSpace.from_local(aspace, gl, make_mesh(8))
+    assert sspace._rayleigh_normalized is True
+    queries = items[:4] * 1.02
+    si, sv = sspace.search_batch(queries, 0.62)
+    ai, av = aspace.search_batch(queries, gl, 0.62)
+    assert np.array_equal(si, ai)
+    np.testing.assert_allclose(sv, av, rtol=1e-8)
+    back = sspace.to_local()
+    assert back._rayleigh_normalized is True
