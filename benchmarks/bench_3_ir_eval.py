@@ -3,7 +3,15 @@
 Port of the reference's MS MARCO (BeIR) protocol (tests/test_3_beir.py):
 corpus cap, x100 scaling, graph {eps 10, k 25, topk 15, p 2, sigma None},
 TAU=0.62, per-query metrics for cosine vs lambda-aware with paired t-tests,
-JSON export.  Synthetic clustered fallback with planted qrels.
+JSON export in the reference's beir_evaluation_results.json schema
+(tests/output/1761063134_v0_17_beir-msmarco/) so runs diff directly.
+
+Data: real embeddings when ARROWSPACE_DATA_DIR holds the exported
+{msmarco_corpus,msmarco_queries,msmarco_qrels}.{npy,json} files (the
+reference's embedding stage output, tests/test_3_beir.py:66-82); otherwise
+a synthetic heteroscedastic-cluster corpus with single-relevant queries —
+per-cluster norm jitter gives lambda information cosine doesn't carry, so
+the protocol is discriminative across tau/eps (see protocols.py).
 """
 
 import sys
@@ -13,73 +21,97 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-from benchmarks.protocols import (force_cpu_if_requested, out_dir, save_json,
-                                  synthetic_duplicates, timed,
-                                  try_load_real_embeddings)
+from benchmarks.protocols import (ambiguous_single_relevant_queries,
+                                  force_cpu_if_requested,
+                                  heteroscedastic_clusters, load_beir_export,
+                                  out_dir, save_json, timed)
 
 force_cpu_if_requested()
 
 from pyarrowspace_tpu import ArrowSpaceBuilder
-from pyarrowspace_tpu.eval.ir import (evaluate_run, paired_t_test)
+from pyarrowspace_tpu.eval.ir import evaluate_run, paired_t_test
 
 TAU = 0.62
 K_EVAL = 10
 GRAPH_PARAMS = {"eps": 10.0, "k": 25, "topk": 15, "p": 2.0, "sigma": None}
 N_EVAL_QUERIES = 50
+SCALING = 100.0   # reference test_3_beir.py:19 (x100, lambda collapses at x1)
 
 
-def run_eval(corpus, groups, graph_params=GRAPH_PARAMS, tau=TAU,
-             n_queries=N_EVAL_QUERIES, seed=3):
+def load_protocol_data(seed_q: int = 3):
+    """(corpus, queries, relevant, dataset_name) — real export or synthetic."""
+    real = load_beir_export("msmarco")
+    if real is not None:
+        corpus, queries, relevant = real
+        # The reference scales embeddings x100 before build (test_3:190).
+        return (corpus * SCALING, queries * SCALING, relevant,
+                "MS MARCO (BeIR)")
+    corpus, _, _, _ = heteroscedastic_clusters(
+        n_groups=400, per_group=50, dim=768)
+    queries, relevant = ambiguous_single_relevant_queries(
+        corpus, N_EVAL_QUERIES, seed=seed_q)
+    return corpus, queries, relevant, "synthetic-heteroscedastic"
+
+
+def run_eval(corpus, queries, relevant, graph_params=GRAPH_PARAMS, tau=TAU):
+    """Build once, evaluate cosine (tau=1.0) and lambda-aware (tau) runs."""
     (aspace, gl), t_build = timed(ArrowSpaceBuilder.build, graph_params,
                                   corpus)
-    rng = np.random.default_rng(seed)
-    per_group = len(next(iter(groups))) if groups else 0
-    qidx = rng.choice(corpus.shape[0], size=n_queries, replace=False)
-    # Ambiguous queries: each mixes in a distractor cluster's direction so
-    # retrieval is genuinely hard and metrics move across configs (pure
-    # in-cluster noise leaves high-dim clusters trivially separable).
-    distractor = corpus[rng.permutation(qidx)]
-    queries = (0.7 * corpus[qidx] + 0.68 * distractor
-               + 0.1 * np.abs(corpus).mean() * rng.normal(
-                   size=(n_queries, corpus.shape[1])))
-
     runs = {}
-    for name, t in [("cosine", 1.0), ("lambda", tau)]:
+    for name, t in [("cosine", 1.0), ("lambda_aware", tau)]:
         retrieved = [[i for i, _ in aspace.search(q, gl, t)]
                      for q in queries]
-        relevant = [groups[qi // per_group] - {qi} for qi in qidx]
         runs[name] = evaluate_run(retrieved, relevant, k=K_EVAL)
     return runs, t_build, (aspace, gl)
 
 
+def _metrics(run):
+    return {"recall@10": run["mean_recall@k"], "mrr": run["mean_mrr"],
+            "ndcg@10": run["mean_ndcg@k"]}
+
+
+def _improvements(base, other):
+    out = {}
+    for key, b, o in [("recall@10_pct", base["mean_recall@k"],
+                       other["mean_recall@k"]),
+                      ("mrr_pct", base["mean_mrr"], other["mean_mrr"]),
+                      ("ndcg@10_pct", base["mean_ndcg@k"],
+                       other["mean_ndcg@k"])]:
+        out[key] = 100.0 * (o - b) / b if b else 0.0
+    return out
+
+
 def main():
-    emb = try_load_real_embeddings("msmarco")
-    if emb is not None:
-        corpus, groups = emb, None
-        raise SystemExit("real-embedding mode requires qrels; "
-                         "use the synthetic protocol")
-    corpus, groups = synthetic_duplicates(
-        n_groups=400, per_group=50, dim=768, noise=0.3, scaling=100.0)
-    print(f"corpus: {corpus.shape}")
+    corpus, queries, relevant, dataset = load_protocol_data()
+    print(f"dataset: {dataset}, corpus: {corpus.shape}, "
+          f"queries: {len(queries)}")
 
-    runs, t_build, _ = run_eval(corpus, groups)
-    t_mrr, p_mrr = paired_t_test(runs["cosine"]["mrr"], runs["lambda"]["mrr"])
+    runs, t_build, _ = run_eval(corpus, queries, relevant)
+    print(f"build: {t_build:.2f}s")
+    t_mrr, p_mrr = paired_t_test(runs["cosine"]["mrr"],
+                                 runs["lambda_aware"]["mrr"])
     t_nd, p_nd = paired_t_test(runs["cosine"]["ndcg@k"],
-                               runs["lambda"]["ndcg@k"])
+                               runs["lambda_aware"]["ndcg@k"])
 
+    # Reference beir_evaluation_results.json schema
+    # (tests/output/1761063134_v0_17_beir-msmarco/), plus the t-tests the
+    # reference prints to its text report.
     results = {
-        "protocol": "ir_eval (test_3 port)",
-        "n_items": int(corpus.shape[0]),
-        "build_time_s": t_build,
+        "dataset": dataset,
+        "dataset_size": int(corpus.shape[0]),
+        "num_queries": len(queries),
         "tau": TAU,
-        "cosine": {k: v for k, v in runs["cosine"].items()
-                   if k.startswith("mean") or k in ("k", "n_queries")},
-        "lambda": {k: v for k, v in runs["lambda"].items()
-                   if k.startswith("mean") or k in ("k", "n_queries")},
+        "metrics": {
+            "cosine": _metrics(runs["cosine"]),
+            "lambda_aware": _metrics(runs["lambda_aware"]),
+            "improvements": _improvements(runs["cosine"],
+                                          runs["lambda_aware"]),
+        },
+        "build_time_s": t_build,
         "t_test": {"mrr": {"t": t_mrr, "p": p_mrr},
                    "ndcg": {"t": t_nd, "p": p_nd}},
     }
-    print(results)
+    print({k: results["metrics"][k] for k in results["metrics"]})
     save_json(out_dir("ir_eval") / "beir_evaluation_results.json", results)
 
 

@@ -1,5 +1,14 @@
-"""Tau sweep over the IR protocol (port of tests/test_4_msmarco_tau_sweep.py:
-tau in {1.0, 0.62, 0.51}, improvements vs cosine, best-tau analysis)."""
+"""Tau sweep over the IR protocol (port of tests/test_4_msmarco_tau_sweep.py).
+
+The recorded reference run sweeps tau {1.0, 0.62, 0.42} and its metrics
+respond monotonically — recall@10 0.91 -> 0.89 -> 0.86
+(tests/output/1761063804_v0_17_msmarco_tausweep/beir_tau_sweep_results.json);
+output uses that artifact's results_by_mode schema.  The synthetic protocol
+reproduces the qualitative response (heteroscedastic clusters: lambda is
+informative, and diluting cosine with the lambda-proximity term degrades
+single-relevant retrieval monotonically); tests/test_sweep_response.py pins
+the shape.
+"""
 
 import sys
 from pathlib import Path
@@ -8,60 +17,75 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-from benchmarks.protocols import (force_cpu_if_requested, out_dir, save_json,
-                                  synthetic_duplicates, timed)
+from benchmarks.protocols import (ambiguous_single_relevant_queries,
+                                  force_cpu_if_requested,
+                                  heteroscedastic_clusters, load_beir_export,
+                                  out_dir, save_json, timed)
 
 force_cpu_if_requested()
 
 from pyarrowspace_tpu import ArrowSpaceBuilder
 from pyarrowspace_tpu.eval.ir import evaluate_run, paired_t_test
 
-TAUS = [1.0, 0.62, 0.51]   # reference test_4:18-22
+# Mode names + taus from the recorded reference artifact.
+TAU_MODES = {"cosine": 1.0, "taumode": 0.62, "extra-taumode": 0.42}
 K_EVAL = 10
 GRAPH_PARAMS = {"eps": 10.0, "k": 25, "topk": 15, "p": 2.0, "sigma": None}
+N_EVAL_QUERIES = 50
 
 
 def main():
-    corpus, groups = synthetic_duplicates(
-        n_groups=300, per_group=50, dim=768, noise=0.3, scaling=100.0)
+    real = load_beir_export("msmarco")
+    if real is not None:
+        corpus, queries, relevant = real
+        corpus, queries = corpus * 100.0, queries * 100.0
+        dataset = "MS MARCO (BeIR)"
+    else:
+        corpus, _, _, _ = heteroscedastic_clusters(
+            n_groups=400, per_group=50, dim=768)
+        queries, relevant = ambiguous_single_relevant_queries(
+            corpus, N_EVAL_QUERIES, seed=3)
+        dataset = "synthetic-heteroscedastic"
     (aspace, gl), t_build = timed(ArrowSpaceBuilder.build, GRAPH_PARAMS,
                                   corpus)
-    print(f"build: {t_build:.2f}s")
+    print(f"dataset: {dataset} {corpus.shape}, build: {t_build:.2f}s")
 
-    rng = np.random.default_rng(4)
-    per_group = 50
-    qidx = rng.choice(corpus.shape[0], size=50, replace=False)
-    # Ambiguous queries: each mixes in a distractor cluster's direction so
-    # retrieval is genuinely hard and metrics move across configs (pure
-    # in-cluster noise leaves high-dim clusters trivially separable).
-    distractor = corpus[rng.permutation(qidx)]
-    queries = (0.7 * corpus[qidx] + 0.68 * distractor
-               + 0.1 * np.abs(corpus).mean() * rng.normal(
-                   size=(50, corpus.shape[1])))
-    relevant = [groups[qi // per_group] - {qi} for qi in qidx]
-
-    sweep = {}
+    results_by_mode = {}
     baseline = None
-    for tau in TAUS:
+    for mode, tau in TAU_MODES.items():
         retrieved = [[i for i, _ in aspace.search(q, gl, tau)]
                      for q in queries]
         run = evaluate_run(retrieved, relevant, k=K_EVAL)
-        entry = {k: v for k, v in run.items() if k.startswith("mean")}
-        if tau == 1.0:
+        entry = {"tau": tau,
+                 "metrics": {"recall@10": run["mean_recall@k"],
+                             "mrr": run["mean_mrr"],
+                             "ndcg@10": run["mean_ndcg@k"]}}
+        if baseline is None:
             baseline = run
         else:
+            imp = {}
+            for key, b, o in [
+                    ("recall@10_pct", baseline["mean_recall@k"],
+                     run["mean_recall@k"]),
+                    ("mrr_pct", baseline["mean_mrr"], run["mean_mrr"]),
+                    ("ndcg@10_pct", baseline["mean_ndcg@k"],
+                     run["mean_ndcg@k"])]:
+                imp[key] = 100.0 * (o - b) / b if b else 0.0
+            entry["improvements_vs_cosine"] = imp
             t, p = paired_t_test(baseline["ndcg@k"], run["ndcg@k"])
-            entry["ndcg_vs_cosine_t"] = t
-            entry["ndcg_vs_cosine_p"] = p
-            entry["ndcg_improvement_pct"] = (
-                100.0 * (entry["mean_ndcg@k"] - baseline["mean_ndcg@k"])
-                / max(baseline["mean_ndcg@k"], 1e-12))
-        sweep[str(tau)] = entry
-        print(f"tau={tau}: {entry}")
+            entry["ndcg_t_test"] = {"t": t, "p": p}
+        results_by_mode[mode] = entry
+        print(f"{mode} (tau={tau}): {entry['metrics']}")
 
-    best_tau = max(sweep, key=lambda t: sweep[t]["mean_ndcg@k"])
-    results = {"protocol": "tau_sweep (test_4 port)",
-               "build_time_s": t_build, "sweep": sweep, "best_tau": best_tau}
+    results = {
+        "dataset": dataset,
+        "dataset_size": int(corpus.shape[0]),
+        "num_queries": len(queries),
+        "graph_params": GRAPH_PARAMS,
+        "tau_modes": TAU_MODES,
+        "results_by_mode": results_by_mode,
+        "build_time_s": t_build,
+    }
     save_json(out_dir("tau_sweep") / "beir_tau_sweep_results.json", results)
 
 

@@ -1,6 +1,16 @@
 """Eps sweep with per-config build-time and failure tracking (port of
 tests/test_5_msmarco_eps_sweep.py: eps = BASE_EPS * {0.5, 1.0, 1.5}; each
-config's failure is isolated and recorded as FAILED, the sweep continues)."""
+config's failure is isolated and recorded as FAILED, the sweep continues).
+
+Output uses the recorded reference artifact's results_by_eps schema
+(tests/output/1761065864_v0_17_msmarco_epssweep/beir_eps_sweep_results.json),
+where nDCG@10 moves across eps (0.5955 / 0.5986 / 0.5997).  Here eps reaches
+the lambdas through the reduction stage (the reference binding passes eps
+into with_dims_reduction, src/lib.rs:283): different eps -> different
+centroid budget -> different feature-Laplacian signals -> different
+lambdas -> the tau=0.62 metrics move.  tests/test_sweep_response.py pins
+the non-degeneracy.
+"""
 
 import sys
 import traceback
@@ -10,8 +20,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-from benchmarks.protocols import (force_cpu_if_requested, out_dir, save_json,
-                                  synthetic_duplicates, timed)
+from benchmarks.protocols import (ambiguous_single_relevant_queries,
+                                  force_cpu_if_requested,
+                                  heteroscedastic_clusters, load_beir_export,
+                                  out_dir, save_json, timed)
 
 force_cpu_if_requested()
 
@@ -22,23 +34,25 @@ BASE_EPS = 10.0
 EPS_VALUES = [BASE_EPS * m for m in (0.5, 1.0, 1.5)]   # test_5:19-23
 TAU = 0.62
 K_EVAL = 10
+N_EVAL_QUERIES = 50
 
 
 def main():
-    corpus, groups = synthetic_duplicates(
-        n_groups=300, per_group=50, dim=768, noise=0.3, scaling=100.0)
-    rng = np.random.default_rng(5)
-    qidx = rng.choice(corpus.shape[0], size=50, replace=False)
-    # Ambiguous queries: each mixes in a distractor cluster's direction so
-    # retrieval is genuinely hard and metrics move across configs (pure
-    # in-cluster noise leaves high-dim clusters trivially separable).
-    distractor = corpus[rng.permutation(qidx)]
-    queries = (0.7 * corpus[qidx] + 0.68 * distractor
-               + 0.1 * np.abs(corpus).mean() * rng.normal(
-                   size=(50, corpus.shape[1])))
-    relevant = [groups[qi // 50] - {qi} for qi in qidx]
+    real = load_beir_export("msmarco")
+    if real is not None:
+        corpus, queries, relevant = real
+        corpus, queries = corpus * 100.0, queries * 100.0
+        dataset = "MS MARCO (BeIR)"
+    else:
+        corpus, _, _, _ = heteroscedastic_clusters(
+            n_groups=400, per_group=50, dim=768)
+        queries, relevant = ambiguous_single_relevant_queries(
+            corpus, N_EVAL_QUERIES, seed=5)
+        dataset = "synthetic-heteroscedastic"
+    print(f"dataset: {dataset} {corpus.shape}")
 
-    sweep = {}
+    results_by_eps = {}
+    successful, failed = [], []
     for eps in EPS_VALUES:
         gp = {"eps": eps, "k": 25, "topk": 15, "p": 2.0, "sigma": None}
         try:
@@ -46,17 +60,41 @@ def main():
             retrieved = [[i for i, _ in aspace.search(q, gl, TAU)]
                          for q in queries]
             run = evaluate_run(retrieved, relevant, k=K_EVAL)
-            sweep[str(eps)] = {
-                "status": "OK", "build_time_s": t_build,
-                **{k: v for k, v in run.items() if k.startswith("mean")}}
+            results_by_eps[str(eps)] = {
+                "eps": eps, "build_status": "SUCCESS",
+                "build_time": t_build,
+                "metrics": {"recall@10": run["mean_recall@k"],
+                            "mrr": run["mean_mrr"],
+                            "ndcg@10": run["mean_ndcg@k"]}}
+            successful.append(eps)
         except Exception as e:  # failure isolation (reference test_5:181-216)
-            sweep[str(eps)] = {"status": "FAILED", "error": repr(e)}
+            results_by_eps[str(eps)] = {"eps": eps, "build_status": "FAILED",
+                                        "error": repr(e)}
+            failed.append(eps)
             traceback.print_exc()
-        print(f"eps={eps}: {sweep[str(eps)]}")
+        print(f"eps={eps}: {results_by_eps[str(eps)]}")
 
-    save_json(out_dir("eps_sweep") / "beir_eps_sweep_results.json",
-              {"protocol": "eps_sweep (test_5 port)", "tau": TAU,
-               "sweep": sweep})
+    ok = {e: results_by_eps[str(e)]["metrics"] for e in successful}
+    best = {}
+    if ok:
+        for key, label in [("recall@10", "best_recall"), ("mrr", "best_mrr"),
+                           ("ndcg@10", "best_ndcg")]:
+            e = max(ok, key=lambda v: ok[v][key])
+            best[label] = {"eps": e, "value": ok[e][key]}
+
+    results = {
+        "dataset": dataset,
+        "dataset_size": int(corpus.shape[0]),
+        "num_queries": len(queries),
+        "tau": TAU,
+        "scaling": 100.0,
+        "eps_sweep": {"base_eps": BASE_EPS, "tested_values": EPS_VALUES,
+                      "successful_values": successful,
+                      "failed_values": failed},
+        "results_by_eps": results_by_eps,
+        "best_configs": best,
+    }
+    save_json(out_dir("eps_sweep") / "beir_eps_sweep_results.json", results)
 
 
 if __name__ == "__main__":

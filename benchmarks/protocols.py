@@ -51,6 +51,96 @@ def synthetic_duplicates(n_groups: int, per_group: int, dim: int,
     return corpus.astype(np.float64), groups
 
 
+def heteroscedastic_clusters(n_groups: int, per_group: int, dim: int,
+                             seed: int = 42,
+                             scale_range: tuple = (0.6, 1.8),
+                             noise_range: tuple = (0.08, 0.5),
+                             scaling: float = 100.0):
+    """Clustered corpus whose clusters differ in NORM and NOISE level.
+
+    Per-cluster scale jitter is invisible to cosine (direction-preserving)
+    but drives the unnormalized Dirichlet energy — and therefore lambda —
+    apart across clusters, so the (1-tau) lambda-proximity term carries
+    information cosine doesn't.  This reproduces the reference's recorded
+    parameter response (recall@10 0.91 -> 0.89 -> 0.86 across tau
+    1.0 -> 0.62 -> 0.42, tests/output/1761063804_v0_17_msmarco_tausweep),
+    which a homoscedastic planted-cluster corpus cannot: equal norms and
+    noise collapse every lambda to the same value and the sweep goes flat.
+
+    Returns (corpus [n_groups*per_group, dim] f64, groups, scales, noises).
+    """
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_groups, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    scales = np.exp(rng.uniform(np.log(scale_range[0]),
+                                np.log(scale_range[1]), n_groups))
+    noises = np.exp(rng.uniform(np.log(noise_range[0]),
+                                np.log(noise_range[1]), n_groups))
+    pts = (base[:, None, :]
+           + (noises / np.sqrt(dim))[:, None, None]
+           * rng.normal(size=(n_groups, per_group, dim)))
+    corpus = (pts * scales[:, None, None]).reshape(-1, dim) * scaling
+    groups = [set(range(g * per_group, (g + 1) * per_group))
+              for g in range(n_groups)]
+    return corpus.astype(np.float64), groups, scales, noises
+
+
+def ambiguous_single_relevant_queries(corpus: np.ndarray, n_queries: int,
+                                      seed: int = 3,
+                                      distractor_weight: float = 0.6,
+                                      jitter: float = 0.05):
+    """Single-relevant-item IR protocol (the reference's qrels shape: most
+    MS MARCO queries have exactly one positive passage).
+
+    Each query mixes its source item with a random distractor item from
+    another cluster: q = x_i + b*x_d + jitter*noise.  The distractor pulls
+    cosine toward a wrong cluster AND shifts the query's spectral profile,
+    so tau < 1 re-ranks near-margin queries.  Returns (queries [Q, F],
+    relevant: list[set[int]] with one id each).
+    """
+    rng = np.random.default_rng(seed)
+    n = corpus.shape[0]
+    qidx = rng.choice(n, size=n_queries, replace=False)
+    didx = rng.permutation(qidx)
+    queries = (corpus[qidx] + distractor_weight * corpus[didx]
+               + jitter * np.abs(corpus).mean()
+               * rng.normal(size=(n_queries, corpus.shape[1])))
+    relevant = [{int(qi)} for qi in qidx]
+    return queries, relevant
+
+
+def load_beir_export(name: str = "msmarco"):
+    """Load real pre-exported embeddings + qrels from ARROWSPACE_DATA_DIR.
+
+    Expected files (exported by running the reference harness's embedding
+    stage, tests/test_3_beir.py:66-82):
+      {name}_corpus.npy   [N, F] float corpus embeddings
+      {name}_queries.npy  [Q, F] float query embeddings
+      {name}_qrels.json   {"<query_idx>": [corpus_idx, ...]}  OR
+      {name}_qrels.npy    [M, 2] int (query_idx, corpus_idx) pairs
+    Returns (corpus, queries, relevant: list[set[int]]) or None.
+    """
+    data_dir = os.environ.get("ARROWSPACE_DATA_DIR")
+    if not data_dir:
+        return None
+    d = Path(data_dir)
+    cpath, qpath = d / f"{name}_corpus.npy", d / f"{name}_queries.npy"
+    if not (cpath.exists() and qpath.exists()):
+        return None
+    corpus, queries = np.load(cpath), np.load(qpath)
+    relevant = [set() for _ in range(queries.shape[0])]
+    jq, nq = d / f"{name}_qrels.json", d / f"{name}_qrels.npy"
+    if jq.exists():
+        for k, v in json.loads(jq.read_text()).items():
+            relevant[int(k)] = set(int(c) for c in v)
+    elif nq.exists():
+        for q, c in np.load(nq):
+            relevant[int(q)].add(int(c))
+    else:
+        raise FileNotFoundError(f"no {name}_qrels.json/.npy in {data_dir}")
+    return corpus, queries, relevant
+
+
 def try_load_real_embeddings(name: str):
     """Load pre-exported embeddings from ARROWSPACE_DATA_DIR/{name}.npy if
     present (the path for users who ran the reference's embedding stage)."""

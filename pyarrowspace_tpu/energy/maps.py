@@ -149,8 +149,10 @@ def build_energy_maps(items, ep: EnergyParams, gp: GraphParams
 
     # 1. Optical compression: k-means to ~optical_tokens centroids.
     with phase("energy_compress"):
+        # Energy builds pass a fixed 0.35 reduction tolerance, not the graph
+        # eps (reference src/lib.rs:358-359).
         k0 = ep.optical_tokens if ep.optical_tokens is not None else select_k(
-            n, 0)
+            n, 0, eps_hint=0.35)
         k0 = max(2, min(k0, n))
         red = reduce_corpus(stored, seed=gp.seed, k_clusters=k0)
         centroids, assignments = red.centroids, red.assignments

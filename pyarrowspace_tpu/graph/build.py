@@ -180,7 +180,12 @@ def _build_standard_inner(items, gp: GraphParams,
             from ..reduction.pipeline import SAMPLING_KEEP_RATE
             keep = (config.sampling_rate if config.sampling_rate is not None
                     else SAMPLING_KEEP_RATE)
-            red = reduce_corpus(stored, seed=gp.seed, keep_rate=keep)
+            # The reference threads eps into the reduction stage
+            # (with_dims_reduction(true, Some(eps)), src/lib.rs:283), so
+            # clustering granularity — and thus the feature-Laplacian
+            # signals and every lambda — responds to eps.
+            red = reduce_corpus(stored, seed=gp.seed, keep_rate=keep,
+                                eps_hint=gp.eps)
             centroids, assignments = red.centroids, red.assignments
             signals = centroids
 

