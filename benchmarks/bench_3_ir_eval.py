@@ -34,7 +34,7 @@ from pyarrowspace_tpu.eval.ir import evaluate_run, paired_t_test
 TAU = 0.62
 K_EVAL = 10
 GRAPH_PARAMS = {"eps": 10.0, "k": 25, "topk": 15, "p": 2.0, "sigma": None}
-N_EVAL_QUERIES = 50
+N_EVAL_QUERIES = 100
 SCALING = 100.0   # reference test_3_beir.py:19 (x100, lambda collapses at x1)
 
 
@@ -49,7 +49,7 @@ def load_protocol_data(seed_q: int = 3):
     corpus, _, _, _ = heteroscedastic_clusters(
         n_groups=400, per_group=50, dim=768)
     queries, relevant = ambiguous_single_relevant_queries(
-        corpus, N_EVAL_QUERIES, seed=seed_q)
+        corpus, N_EVAL_QUERIES, seed=seed_q, distractor_weight=0.63)
     return corpus, queries, relevant, "synthetic-heteroscedastic"
 
 

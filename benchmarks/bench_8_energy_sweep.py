@@ -12,8 +12,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-from benchmarks.protocols import (force_cpu_if_requested, out_dir, save_csv,
-                                  save_json, synthetic_duplicates, timed)
+from benchmarks.protocols import (force_cpu_if_requested,
+                                  heteroscedastic_clusters, out_dir,
+                                  save_csv, save_json, timed)
 
 force_cpu_if_requested()
 
@@ -35,7 +36,15 @@ def run_sweep(corpus, etas=ETAS, steps_list=STEPS, n_queries=N_QUERIES):
                                         GRAPH_PARAMS, corpus)
     rng = np.random.default_rng(8)
     qidx = rng.choice(corpus.shape[0], n_queries, replace=False)
-    queries = corpus[qidx] * 1.02
+    # Directional perturbation at constant magnitude: lambda is
+    # magnitude-sensitive by design (TAUMODE), so a pure-scaling query
+    # (x1.02) shifts every energy systematically; direction noise keeps
+    # the query inside its item's energy cell like a re-embedded near
+    # duplicate would be.
+    gq = rng.normal(size=(n_queries, corpus.shape[1]))
+    gq /= np.linalg.norm(gq, axis=1, keepdims=True)
+    norms = np.linalg.norm(corpus[qidx], axis=1, keepdims=True)
+    queries = corpus[qidx] + 0.05 * norms * gq
     relevant = [set(i for i, _ in aspace_std.search(q, gl_std, 1.0)[:10])
                 for q in queries]
 
@@ -74,8 +83,10 @@ def run_sweep(corpus, etas=ETAS, steps_list=STEPS, n_queries=N_QUERIES):
 
 
 def main():
-    corpus, _ = synthetic_duplicates(
-        n_groups=80, per_group=21, dim=384, noise=0.25, scaling=12.0)
+    # Heteroscedastic clusters: per-cluster norm/noise jitter spreads the
+    # energies so the (cosine-free) energy index has signal to route on.
+    corpus, _, _, _ = heteroscedastic_clusters(
+        n_groups=80, per_group=21, dim=384, scaling=12.0)
     print(f"corpus: {corpus.shape}")
     rows, t_std = run_sweep(corpus)
     d = out_dir("energy_sweep")

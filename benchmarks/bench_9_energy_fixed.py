@@ -6,8 +6,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from benchmarks.protocols import (force_cpu_if_requested, out_dir, save_csv,
-                                  save_json, synthetic_duplicates)
+from benchmarks.protocols import (force_cpu_if_requested,
+                                  heteroscedastic_clusters, out_dir,
+                                  save_csv, save_json)
 
 force_cpu_if_requested()
 
@@ -15,8 +16,8 @@ from benchmarks.bench_8_energy_sweep import run_sweep
 
 
 def main():
-    corpus, _ = synthetic_duplicates(
-        n_groups=80, per_group=21, dim=384, noise=0.25, scaling=12.0)
+    corpus, _, _, _ = heteroscedastic_clusters(
+        n_groups=80, per_group=21, dim=384, scaling=12.0)
     rows, t_std = run_sweep(corpus, etas=[0.05], steps_list=[4])
     d = out_dir("energy_fixed")
     save_csv(d / "diffusion_sweep_results.csv", rows)

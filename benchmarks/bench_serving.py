@@ -41,15 +41,11 @@ def main():
     rng = np.random.default_rng(0)
 
     # Build the serving state directly (index build timing is bench.py's
-    # job); corpus streamed to device in slabs to bound host memory.
-    slabs = []
-    slab = 250_000
-    for s in range(0, n, slab):
-        m = min(slab, n - s)
-        slabs.append(jnp.asarray(
-            rng.standard_normal((m, f), dtype=np.float32)))
-    x = jnp.concatenate(slabs, axis=0)
-    del slabs
+    # job); corpus generated ON DEVICE — a 1M x 768 f32 corpus is 3 GB,
+    # ~100 s through the tunneled host->device link but milliseconds of
+    # on-device RNG.
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, f), dtype=jnp.float32)
     xu = unit_normalize(x)
     w_f, lap_f, _ = build_feature_laplacian(x[:65536], k_f=15)
     e = rayleigh_batch(x, lap_f, normalized=False)
@@ -92,6 +88,42 @@ def main():
     backend = "pallas" if n * q_batch > 2**31 else "xla"
     measure(xu, f"exact f32 ({backend})", backend)
     measure(xu.astype(jnp.bfloat16), f"exact bf16 ({backend})", backend)
+
+    # int8 candidate scan + exact f32 rescore (the 100k-QPS/chip path:
+    # MXU int8 rate is 2-8x f32 depending on generation; the rescore pins
+    # the served top-k to the exact scan).
+    from pyarrowspace_tpu.ops.quantize import quantize_rows
+    from pyarrowspace_tpu.ops.search import fused_query_pipeline_quantized
+    xq, scales = quantize_rows(xu)
+    xq.block_until_ready()
+    rescore_m = int(os.environ.get("SERV_RESCORE_M", 4 * topk))
+    qargs = dict(topk=topk, rescore_m=rescore_m, rayleigh_normalized=False,
+                 tau_mix=TAU_MIX)
+    lam32 = lams.astype(jnp.float32)
+    warm = fused_query_pipeline_quantized(
+        xu, xq, scales, lam32, lap_f, w_f, ts, query_batches[-1], tau,
+        **qargs)
+    _ = np.asarray(warm[0])
+    t0 = time.perf_counter()
+    outs = [fused_query_pipeline_quantized(
+                xu, xq, scales, lam32, lap_f, w_f, ts, qb, tau, **qargs)
+            for qb in query_batches]
+    _ = [int(np.asarray(o[0])[0, 0]) for o in outs]
+    dt = time.perf_counter() - t0
+    qps_q = q_batch * reps / dt
+    print(f"int8+rescore (m={rescore_m}): {qps_q:,.0f} QPS  "
+          f"({dt / reps * 1000:.1f} ms/batch of {q_batch})")
+
+    # Pinned overlap vs the exact f32 scan on one batch.
+    args = dict(topk=topk, rayleigh_normalized=False, tau_mix=TAU_MIX,
+                backend=backend)
+    ie = np.asarray(fused_query_pipeline(xu, lam32, lap_f, w_f, ts,
+                                         query_batches[0], tau, **args)[0])
+    iq = np.asarray(outs[0][0])
+    k_ov = min(10, topk)
+    overlap = float(np.mean([len(set(ie[i][:k_ov]) & set(iq[i][:k_ov]))
+                             / k_ov for i in range(q_batch)]))
+    print(f"int8+rescore top-{k_ov} overlap vs exact f32: {overlap:.4f}")
 
     # IVF mode (opt-in): the current gather-based IVF materializes
     # [Qb, n_probe*cap, F] candidates, which is fine up to ~100k items but

@@ -102,7 +102,17 @@ def ambiguous_single_relevant_queries(corpus: np.ndarray, n_queries: int,
     n = corpus.shape[0]
     qidx = rng.choice(n, size=n_queries, replace=False)
     didx = rng.permutation(qidx)
-    queries = (corpus[qidx] + distractor_weight * corpus[didx]
+    # A (lo, hi) distractor_weight draws a PER-QUERY weight: real query
+    # sets have a continuous difficulty spectrum, so some queries always
+    # sit at the ranking margin — a fixed weight concentrates every
+    # margin at the same value (high-dim cosine concentration) and then
+    # no config perturbation can flip anything.
+    if isinstance(distractor_weight, (tuple, list)):
+        dw = rng.uniform(distractor_weight[0], distractor_weight[1],
+                         size=(n_queries, 1))
+    else:
+        dw = distractor_weight
+    queries = (corpus[qidx] + dw * corpus[didx]
                + jitter * np.abs(corpus).mean()
                * rng.normal(size=(n_queries, corpus.shape[1])))
     relevant = [{int(qi)} for qi in qidx]

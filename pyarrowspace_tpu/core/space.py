@@ -172,35 +172,65 @@ class ArrowSpace:
             else rayleigh_batch(q, self._lap_f, normalized=True),
             g_q, self._tau_star, self._tau_mix)
         k_eff = min(int(k), self.nitems)
-        emaps = getattr(self, "_energy_maps", None)
-        if emaps is not None and self._assignments is not None:
-            # Candidate-pool routing (reference energy search uses a
-            # candidate_m pool, src/lib.rs:311-323): rank energy NODES by
-            # the blended energy distance, expand the best candidate_m
-            # nodes to their member items, score only those.
-            d_nodes = (w_l * jnp.abs(emaps.node_lambda - lam_q[0])
-                       + w_d * jnp.abs(emaps.node_dirichlet - e_q[0]))
-            m_pool = min(emaps.candidate_m, d_nodes.shape[0])
-            _, node_sel = jax.lax.top_k(-d_nodes, m_pool)
-            cent_sel = np.unique(np.asarray(emaps.node_centroid[node_sel]))
-            members = np.flatnonzero(
-                np.isin(np.asarray(self._assignments), cent_sel))
-            if members.size >= k_eff:
-                mem = jnp.asarray(members, dtype=jnp.int32)
-                prox_l = 1.0 / (1.0 + jnp.abs(self._lambdas[mem] - lam_q[0]))
-                prox_e = 1.0 / (1.0 + jnp.abs(self._e_raw[mem] - e_q[0]))
-                score = w_l * prox_l + w_d * prox_e
-                vals, pos = jax.lax.top_k(score, k_eff)
-                idx = mem[pos]
-                return [(int(i), float(s)) for i, s in zip(np.asarray(idx),
-                                                           np.asarray(vals))]
-            # Pool too small for k -> exact fallback below.
+        routed = self._search_energy_routed(q, lam_q, e_q, w_l, w_d, k_eff)
+        if routed is not None:
+            idx_r, vals_r = routed
+            if np.all(np.asarray(idx_r[0, :k_eff]) >= 0):
+                return [(int(i), float(s))
+                        for i, s in zip(np.asarray(idx_r[0]),
+                                        np.asarray(vals_r[0]))]
+            # Fewer valid candidates than k -> exact fallback below.
+        e_qb = search_ops.bounded_energy(e_q, self._tau_star)
         idx, vals = search_ops.energy_topk(
-            self._data, self._lambdas, self._e_raw, q[0], lam_q[0], e_q[0],
+            self._data, self._lambdas, self._e_bounded, q[0], lam_q[0],
+            e_qb[0],
             jnp.asarray(w_l, dtype=self._data.dtype),
             jnp.asarray(w_d, dtype=self._data.dtype), k_eff)
         return [(int(i), float(s)) for i, s in zip(np.asarray(idx),
                                                    np.asarray(vals))]
+
+    @property
+    def _e_bounded(self) -> jnp.ndarray:
+        """Items' bounded Dirichlet energies E' = e/(e + tau*) — the scale
+        energy-search proximity operates on (ops/search.bounded_energy)."""
+        eb = getattr(self, "_e_bounded_cache", None)
+        if eb is None:
+            eb = search_ops.bounded_energy(self._e_raw, self._tau_star)
+            self._e_bounded_cache = eb
+        return eb
+
+    def _energy_routing(self):
+        """Lazily built centroid->member bucket table for the device-side
+        energy routing (same padded-inverted-list layout as ops/ivf.py),
+        plus each tail item's centroid id for its cell term."""
+        rt = getattr(self, "_energy_routing_cache", None)
+        if rt is None:
+            from ..ops.ivf import build_ivf
+            ivf = build_ivf(self._centroids, self._assignments, self.nitems,
+                            capacity_factor=2.0)
+            rt = (ivf.buckets, ivf.tail)
+            self._energy_routing_cache = rt
+        return rt
+
+    def _search_energy_routed(self, q, lam_q, e_q, w_l: float, w_d: float,
+                              k_eff: int):
+        """Candidate-pool routing (reference src/lib.rs:311-323), one
+        device program per batch (VERDICT: no per-query host np.unique /
+        np.isin).  Returns (idx [Q,k], vals [Q,k]) or None when the space
+        has no energy maps."""
+        emaps = getattr(self, "_energy_maps", None)
+        if emaps is None or self._assignments is None:
+            return None
+        buckets, tail = self._energy_routing()
+        return search_ops.energy_routed_topk_batch(
+            self._data, self._lambdas, self._e_raw, emaps.nodes,
+            emaps.node_lambda, emaps.node_dirichlet, emaps.node_centroid,
+            self._lap_f, self._tau_star, buckets, tail,
+            q, lam_q, e_q,
+            jnp.asarray(w_l, dtype=self._data.dtype),
+            jnp.asarray(w_d, dtype=self._data.dtype),
+            probe=min(emaps.candidate_m, int(buckets.shape[0])),
+            topk=k_eff)
 
     # -- TPU-native extras ----------------------------------------------------
     def enable_ivf(self, n_clusters: Optional[int] = None,
@@ -253,11 +283,16 @@ class ArrowSpace:
         e_q = rayleigh_batch(q, self._lap_f, normalized=False)
         g_q = dispersion_batch(q, self._w_f, e_q)
         lam_q = synthesize(e_q, g_q, self._tau_star, self._tau_mix)
+        k_eff = min(int(k), self.nitems)
+        routed = self._search_energy_routed(q, lam_q, e_q, w_l, w_d, k_eff)
+        if routed is not None and np.all(
+                np.asarray(routed[0][:, :k_eff]) >= 0):
+            return np.asarray(routed[0]), np.asarray(routed[1])
+        e_qb = search_ops.bounded_energy(e_q, self._tau_star)
         idx, vals = search_ops.energy_topk_batch(
-            self._lambdas, self._e_raw, lam_q, e_q,
+            self._lambdas, self._e_bounded, lam_q, e_qb,
             jnp.asarray(w_l, dtype=self._data.dtype),
-            jnp.asarray(w_d, dtype=self._data.dtype),
-            min(int(k), self.nitems))
+            jnp.asarray(w_d, dtype=self._data.dtype), k_eff)
         return np.asarray(idx), np.asarray(vals)
 
     def search_batch(self, queries, gl: GraphLaplacian, tau: float,

@@ -87,12 +87,22 @@ def _centroid_knn_graph(c: jnp.ndarray, k: int):
 @functools.partial(jax.jit, static_argnames=("steps",))
 def _diffuse(c: jnp.ndarray, lap: jnp.ndarray, deg: jnp.ndarray,
              eta: float, steps: int) -> jnp.ndarray:
-    """steps of normalized heat diffusion: C <- C - eta * D^-1 L C."""
-    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-12), 0.0)
+    """steps of explicit-Euler heat diffusion: C <- C - eta * L C.
+
+    Deliberately UNNORMALIZED, like a textbook explicit heat step: eta is
+    a true step size with a stability limit eta < 2/lambda_max(L)
+    (lambda_max ~ 2*max_degree, i.e. roughly 8-16 for the kernel-weighted
+    centroid k-NN graph).  Small eta denoises the energy map; eta*steps
+    past the stability limit amplifies the high-frequency modes and the
+    map degenerates — reproducing the reference's recorded sweep shape
+    (best configs in the low-eta region, degenerate rows at high
+    eta x steps, e.g. eta=0.1/steps=8 -> nDCG 0.0,
+    tests/output/1761234699_v0_18_energymaps_8_sweep/diffusion_sweep_results.csv)."""
+    del deg  # kept for signature stability (persisted-index rebuild paths)
 
     def step(cc, _):
-        cc = cc - eta * inv_deg[:, None] * jnp.matmul(
-            lap, cc, preferred_element_type=cc.dtype)
+        cc = cc - eta * jnp.matmul(lap, cc,
+                                   preferred_element_type=cc.dtype)
         return cc, None
 
     c, _ = jax.lax.scan(step, c, None, length=steps)

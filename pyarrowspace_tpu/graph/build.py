@@ -68,6 +68,14 @@ class BuildConfig:
     # k-NN backend: "pallas" (fused MXU+select-k kernel, ops/pallas/knn.py),
     # "xla" (lax.top_k per tile), or "auto" (pallas on TPU, xla elsewhere).
     knn_backend: str = "auto"
+    # Padded-ELL row width for the symmetrized Laplacian; None -> 2k.
+    # The reference's CSR keeps every union edge (unbounded degree,
+    # GRAPH_VARIABLES.md:7-10); the ELL layout caps rows and drops the
+    # weakest edges of hub rows from BOTH endpoint rows (exact symmetry
+    # preserved, count surfaced as gl.n_dropped).  Raise toward n-1 to
+    # reproduce the uncapped reference graph on hub-heavy corpora —
+    # tests/test_hub_cap.py quantifies the default's measured cost.
+    ell_width: Optional[int] = None
 
 
 DEFAULT_BUILD_CONFIG = BuildConfig()
@@ -165,7 +173,9 @@ def _build_standard_inner(items, gp: GraphParams,
         w = jnp.where(i >= 0, w, 0.0)
 
     with phase("symmetrize"):
-        ell_width = min(2 * gp.k, max(n - 1, 1))
+        ell_width = (config.ell_width if config.ell_width is not None
+                     else 2 * gp.k)
+        ell_width = min(ell_width, max(n - 1, 1))
         nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(
             i, w, ell_width)
         n_dropped = int(n_dropped)
@@ -191,7 +201,13 @@ def _build_standard_inner(items, gp: GraphParams,
 
     with phase("feature_laplacian"):
         k_f = config.feature_k if config.feature_k is not None else gp.topk
-        w_f, lap_f, _ = build_feature_laplacian(signals, k_f=k_f)
+        # Reduction path: eps-kernel feature weights (continuous eps
+        # response, see graph/feature.laplacian_from_sq_dists); raw-signal
+        # path keeps the calibrated binary construction.
+        sig_scale = (float(np.sqrt(gp.eps / 10.0))
+                     if centroids is not None else None)
+        w_f, lap_f, _ = build_feature_laplacian(signals, k_f=k_f,
+                                                sigma_scale=sig_scale)
 
     tau_mix = TAU_MIX if config.tau_mix is None else config.tau_mix
     with phase("lambdas"):

@@ -34,9 +34,29 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("k_f",))
-def laplacian_from_sq_dists(d2: jnp.ndarray, *, k_f: int):
-    """Binary symmetrized k-NN Laplacian from a dense [F, F] squared-distance
-    matrix (shared by the single-chip and sharded build paths)."""
+def laplacian_from_sq_dists(d2: jnp.ndarray, *, k_f: int,
+                            sigma_scale=None):
+    """Symmetrized k-NN Laplacian from a dense [F, F] squared-distance
+    matrix (shared by the single-chip and sharded build paths).
+
+    sigma_scale None -> BINARY adjacency — the test_0-calibrated
+    construction (module docstring), used whenever the signals are the
+    raw stored items (small corpora, reduction off).
+
+    sigma_scale (a traced scalar) -> Gaussian-kernel adjacency
+    w = exp(-d^2 / (2 sigma^2)) with sigma = sigma_scale * median kept
+    k-NN distance.  Used on the reduction path (centroid signals): the
+    builder passes sigma_scale = sqrt(eps/10), threading the
+    dims-reduction tolerance into the feature graph CONTINUOUSLY.  Two
+    deliberate properties: (a) a binary graph over well-separated
+    centroid columns is bit-stable under small eps/K perturbations,
+    which made recorded eps sweeps flat, while the reference's recorded
+    sweeps move at every eps step
+    (tests/output/1761065864_v0_17_msmarco_epssweep); (b) because tau*
+    is the MEDIAN energy, any uniform rescaling of the weights cancels
+    out of the bounded energy — the Gaussian's sigma acts as a POWER
+    transform on relative edge weights (exp(-d^2/2s^2)^(s0/s)), a shape
+    change the median cannot absorb."""
     f = d2.shape[0]
     eye = jnp.eye(f, dtype=bool)
     d2 = jnp.where(eye, jnp.inf, d2)                  # exclude self-loops
@@ -47,14 +67,24 @@ def laplacian_from_sq_dists(d2: jnp.ndarray, *, k_f: int):
     mask = mask.at[rows.reshape(-1), nbr.reshape(-1)].set(True)
     mask = mask | mask.T                              # symmetrize (union)
 
-    w_f = mask.astype(d2.dtype)
+    if sigma_scale is None:
+        w_f = mask.astype(d2.dtype)
+    else:
+        d = jnp.sqrt(jnp.where(eye, 0.0, jnp.maximum(d2, 0.0)))
+        kept = jnp.where(mask, d, jnp.nan)
+        med = jnp.nanmedian(kept)
+        med = jnp.where(jnp.isfinite(med) & (med > 0), med, 1.0)
+        sigma = med * sigma_scale
+        w_f = jnp.where(mask, jnp.exp(-(d * d) / (2.0 * sigma * sigma)),
+                        0.0)
     degrees = jnp.sum(w_f, axis=1)
     lap_f = jnp.diag(degrees) - w_f
     return w_f, lap_f, degrees
 
 
 @functools.partial(jax.jit, static_argnames=("k_f",))
-def build_feature_laplacian(signals: jnp.ndarray, *, k_f: int):
+def build_feature_laplacian(signals: jnp.ndarray, *, k_f: int,
+                            sigma_scale=None):
     """Build the dense F x F feature-graph adjacency and Laplacian.
 
     Args:
@@ -62,9 +92,12 @@ def build_feature_laplacian(signals: jnp.ndarray, *, k_f: int):
         in stored — not unit — scale); the graph is over its F columns.
       k_f: per-column neighbor count (the reference-calibrated policy is
         k_f = graph_params.topk).
+      sigma_scale: None -> binary adjacency (calibrated small-n path);
+        scalar -> eps-kernel weights (reduction path, see
+        laplacian_from_sq_dists).
 
     Returns:
-      (w_f [F, F] symmetric binary adjacency, zero diagonal,
+      (w_f [F, F] symmetric non-negative adjacency, zero diagonal,
        lap_f [F, F] = diag(deg) - w_f,
        degrees [F])
     """
@@ -74,4 +107,4 @@ def build_feature_laplacian(signals: jnp.ndarray, *, k_f: int):
     d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
         cols, cols.T, preferred_element_type=signals.dtype)
     d2 = jnp.maximum(d2, 0.0)
-    return laplacian_from_sq_dists(d2, k_f=k_f)
+    return laplacian_from_sq_dists(d2, k_f=k_f, sigma_scale=sigma_scale)

@@ -97,6 +97,74 @@ def fused_query_pipeline(xu: jnp.ndarray, lambdas: jnp.ndarray,
     return lambda_aware_topk_batch(xu, lambdas, q_batch, lam_q, tau, topk)
 
 
+@functools.partial(jax.jit, static_argnames=("topk", "q_chunk"))
+def rescore_candidates(xu: jnp.ndarray, lambdas: jnp.ndarray,
+                       qn: jnp.ndarray, lam_q: jnp.ndarray,
+                       tau: jnp.ndarray, cand_idx: jnp.ndarray, *,
+                       topk: int, q_chunk: int = 512):
+    """Exact f32 re-scoring of a quantized scan's candidate pool.
+
+    cand_idx [Q, M] comes from lambda_search_quantized; each query's M
+    candidates are re-scored with the exact f32 blend (gathered corpus rows,
+    one [qc, M, F] einsum per query chunk so the gather never materializes
+    Q x M x F at once).  Returns (idx [Q, topk], scores [Q, topk]) —
+    identical to the exact scan whenever the true top-k is in the pool."""
+    q, m = cand_idx.shape
+    qc = min(q_chunk, q)
+    q_pad = ((q + qc - 1) // qc) * qc
+    idx_p = jnp.pad(cand_idx, ((0, q_pad - q), (0, 0)), constant_values=-1)
+    qn_p = jnp.pad(qn.astype(jnp.float32), ((0, q_pad - q), (0, 0)))
+    lamq_p = jnp.pad(lam_q.astype(jnp.float32), (0, q_pad - q))
+    nc = q_pad // qc
+    tau32 = tau.astype(jnp.float32)
+
+    def chunk_fn(args):
+        idx_c, qn_c, lamq_c = args
+        safe = jnp.maximum(idx_c, 0)
+        xc = xu.astype(jnp.float32)[safe]              # [qc, M, F] gather
+        cos = jnp.einsum("qmf,qf->qm", xc, qn_c,
+                         preferred_element_type=jnp.float32)
+        prox = 1.0 / (1.0 + jnp.abs(lambdas.astype(jnp.float32)[safe]
+                                    - lamq_c[:, None]))
+        s = tau32 * cos + (1.0 - tau32) * prox
+        s = jnp.where(idx_c >= 0, s, -jnp.inf)
+        vals, pos = jax.lax.top_k(s, topk)
+        return jnp.take_along_axis(idx_c, pos, axis=1), vals
+
+    idxs, vals = jax.lax.map(chunk_fn, (idx_p.reshape(nc, qc, m),
+                                        qn_p.reshape(nc, qc, -1),
+                                        lamq_p.reshape(nc, qc)))
+    return idxs.reshape(q_pad, topk)[:q], vals.reshape(q_pad, topk)[:q]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("topk", "rescore_m",
+                                    "rayleigh_normalized", "tau_mix"))
+def fused_query_pipeline_quantized(
+        xu: jnp.ndarray, xq: jnp.ndarray, scales: jnp.ndarray,
+        lambdas: jnp.ndarray, lap_f: jnp.ndarray, w_f: jnp.ndarray,
+        tau_star: jnp.ndarray, q_batch: jnp.ndarray, tau: jnp.ndarray, *,
+        topk: int, rescore_m: int, rayleigh_normalized: bool,
+        tau_mix: float):
+    """High-QPS serving step: query lambda synthesis + int8 candidate scan
+    (MXU int8 rate, ops/pallas/scan_topk.lambda_search_quantized) + exact
+    f32 rescore of the top rescore_m pool — one compiled program."""
+    from .pallas.scan_topk import lambda_search_quantized
+    from .rayleigh import dispersion_batch, rayleigh_batch
+    from ..spectral.taumode import synthesize
+
+    e_un = rayleigh_batch(q_batch, lap_f, normalized=False)
+    e_raw = (rayleigh_batch(q_batch, lap_f, normalized=True)
+             if rayleigh_normalized else e_un)
+    g = dispersion_batch(q_batch, w_f, e_un)
+    lam_q = synthesize(e_raw, g, tau_star, tau_mix)
+    qn = unit_normalize(q_batch.astype(jnp.float32), axis=-1)
+    cand_idx, _ = lambda_search_quantized(xq, scales, lambdas, qn, lam_q,
+                                          tau, rescore_m)
+    return rescore_candidates(xu, lambdas, qn, lam_q, tau, cand_idx,
+                              topk=topk)
+
+
 @functools.partial(jax.jit, static_argnames=("topk",))
 def hybrid_topk_batch(xu: jnp.ndarray, lambdas: jnp.ndarray,
                       q_batch: jnp.ndarray, lam_q: jnp.ndarray,
@@ -114,6 +182,17 @@ def hybrid_topk_batch(xu: jnp.ndarray, lambdas: jnp.ndarray,
     return idx, vals
 
 
+def bounded_energy(e: jnp.ndarray, tau_star: jnp.ndarray) -> jnp.ndarray:
+    """E' = e / (e + tau*) — the taumode bounding (TAUMODE.md) reused for
+    energy-search proximity.  Raw Dirichlet energies are unbounded and
+    magnitude-dominated (a query scaled by 1.02 shifts e by 4% of its own
+    size — hundreds in absolute terms at CVE scale), so |e_a - e_q| ranks
+    by accidental magnitude coincidence instead of spectral similarity;
+    bounding puts the Dirichlet term on the same (0,1) scale as lambda."""
+    ts = jnp.maximum(tau_star, 1e-10)
+    return e / (e + ts)
+
+
 @functools.partial(jax.jit, static_argnames=("topk",))
 def energy_topk_batch(lambdas: jnp.ndarray, e_raw: jnp.ndarray,
                       lam_q: jnp.ndarray, e_q: jnp.ndarray,
@@ -124,6 +203,76 @@ def energy_topk_batch(lambdas: jnp.ndarray, e_raw: jnp.ndarray,
     prox_e = 1.0 / (1.0 + jnp.abs(e_raw[None, :] - e_q[:, None]))
     score = w_lambda * prox_l + w_dirichlet * prox_e
     vals, idx = jax.lax.top_k(score, topk)
+    return idx, vals
+
+
+@functools.partial(jax.jit, static_argnames=("probe", "topk"))
+def energy_routed_topk_batch(x: jnp.ndarray, lambdas: jnp.ndarray,
+                             e_items: jnp.ndarray, nodes: jnp.ndarray,
+                             node_lambda: jnp.ndarray,
+                             node_e: jnp.ndarray,
+                             node_centroid: jnp.ndarray,
+                             lap_f: jnp.ndarray, tau_star: jnp.ndarray,
+                             buckets: jnp.ndarray, tail: jnp.ndarray,
+                             q: jnp.ndarray, lam_q: jnp.ndarray,
+                             e_q: jnp.ndarray,
+                             w_l: jnp.ndarray, w_d: jnp.ndarray, *,
+                             probe: int, topk: int):
+    """Candidate-pool-routed energy search, fully device-side (one program,
+    no host sync inside the query loop — the reference's candidate_m-pool
+    routing, src/lib.rs:311-323, expressed as gathers).
+
+    The Rayleigh-Dirichlet term is the residual Dirichlet energy
+    D(q, v) = (q-v)^T L_f (q-v) = e_q + e_v - 2 q^T L_f v, bounded
+    D' = D/(D + tau*) — no cosine anywhere; L_f is the feature Laplacian
+    of the DIFFUSED energy map, so retrieval quality rides on the map:
+    a mildly diffused (denoised) map routes and ranks well, an
+    over-diffused/diverged one degenerates (the reference's recorded
+    sweep shape).
+
+    Routing: D(q, node) + lambda node distances reduce to per-CENTROID
+    minima (segment_min over each centroid's split nodes — dedup by
+    construction); the best `probe` centroids' bucket members plus the
+    shared overflow tail are then scored at ITEM level:
+
+        score(q, a) = w_l / (1 + |lambda_a - lambda_q|)
+                    + w_d / (1 + D'(q, x_a))
+
+    Returns (idx [Q, topk] — -1 where a query had fewer valid candidates,
+    vals).
+    """
+    nq = lam_q.shape[0]
+    ts = jnp.maximum(tau_star, 1e-10)
+    qL = jnp.matmul(q.astype(lap_f.dtype), lap_f,
+                    preferred_element_type=lap_f.dtype)        # [Q, F]
+    cross = jnp.matmul(qL, nodes.T,
+                       preferred_element_type=lap_f.dtype)     # [Q, M]
+    d_qn = jnp.maximum(e_q[:, None] + node_e[None, :] - 2.0 * cross, 0.0)
+    d_qn_b = d_qn / (d_qn + ts)
+    d_nodes = (w_l * jnp.abs(node_lambda[None, :] - lam_q[:, None])
+               + w_d * d_qn_b)                                 # [Q, M]
+    k_cent = buckets.shape[0]
+    d_cent = jax.vmap(
+        lambda dn: jax.ops.segment_min(dn, node_centroid,
+                                       num_segments=k_cent))(d_nodes)
+    _, probe_sel = jax.lax.top_k(-d_cent, min(probe, k_cent))  # [Q, P]
+
+    cand = buckets[probe_sel].reshape(nq, -1)                # [Q, P*C]
+    tailb = jnp.broadcast_to(tail[None, :], (nq, tail.shape[0]))
+    cand = jnp.concatenate([cand, tailb], axis=1)
+    valid = cand >= 0
+    safe = jnp.clip(cand, 0, None)
+    xc = x[safe]                                             # [Q, M, F]
+    cross_i = jnp.einsum("qf,qmf->qm", qL, xc.astype(qL.dtype),
+                         preferred_element_type=qL.dtype)
+    d_qa = jnp.maximum(e_q[:, None] + e_items[safe] - 2.0 * cross_i, 0.0)
+    d_qa_b = d_qa / (d_qa + ts)
+    prox_l = 1.0 / (1.0 + jnp.abs(lambdas[safe] - lam_q[:, None]))
+    score = jnp.where(valid,
+                      w_l * prox_l + w_d / (1.0 + d_qa_b), -jnp.inf)
+    vals, pos = jax.lax.top_k(score, min(topk, score.shape[1]))
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    idx = jnp.where(jnp.isfinite(vals), idx, -1)
     return idx, vals
 
 
@@ -156,8 +305,9 @@ def energy_topk(x: jnp.ndarray, lambdas: jnp.ndarray, e_raw: jnp.ndarray,
 
     score(q, i) = w_lambda * 1/(1 + |lambda_i - lambda_q|)
                 + w_dirichlet * 1/(1 + |e_i - e_q|)
-    where e is the raw Rayleigh-Dirichlet energy of the item/query against the
-    stored feature Laplacian.  (The reference engine's exact formula is
+    where e is the BOUNDED Rayleigh-Dirichlet energy E' = e/(e + tau*) of
+    the item/query against the stored feature Laplacian (callers bound via
+    bounded_energy).  (The reference engine's exact formula is
     closed-source; this keeps its documented structure: "lambda proximity +
     Rayleigh-Dirichlet smoothness", src/lib.rs:221-231.)
     """

@@ -428,7 +428,11 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
         k_f = config.feature_k if config.feature_k is not None else gp.topk
         if centroids is not None:
             from ..graph.feature import build_feature_laplacian
-            w_f, lap_f, _ = build_feature_laplacian(centroids, k_f=k_f)
+            # Same eps-kernel weighting as the single-chip reduction path
+            # (graph/build.py) — sharded must stay numerically identical.
+            w_f, lap_f, _ = build_feature_laplacian(
+                centroids, k_f=k_f,
+                sigma_scale=float(np.sqrt(gp.eps / 10.0)))
         else:
             d2_cols = _sharded_col_sq_dists(stored_pad, mesh=mesh)
             w_f, lap_f, _ = laplacian_from_sq_dists(d2_cols, k_f=k_f)

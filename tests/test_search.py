@@ -160,3 +160,57 @@ def test_energy_batch_matches_single(built):
         assert list(idx[r]) == [i for i, _ in single]
         np.testing.assert_allclose(vals[r], [s for _, s in single],
                                    rtol=1e-6)
+
+
+def test_quantized_scan_with_rescore_matches_exact(built):
+    """int8 candidate scan + exact f32 rescore: the served top-k equals the
+    exact f32 scan's (the rescore pool is 4x topk, and int8 cosine error
+    ~4e-3 absolute cannot push a true top-k item out of a 4x pool on this
+    corpus); rescored scores are the exact f32 scores."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.ops.quantize import quantize_rows
+    from pyarrowspace_tpu.ops.search import (fused_query_pipeline,
+                                             fused_query_pipeline_quantized)
+    aspace, gl, items = built
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(
+        items[rng.choice(items.shape[0], 16, replace=False)] * 1.01,
+        dtype=jnp.float32)
+    xu = aspace._data_unit.astype(jnp.float32)
+    lam = aspace._lambdas.astype(jnp.float32)
+    lap_f = aspace._lap_f.astype(jnp.float32)
+    w_f = aspace._w_f.astype(jnp.float32)
+    ts = aspace._tau_star.astype(jnp.float32)
+    tau = jnp.float32(0.62)
+    common = dict(rayleigh_normalized=aspace._rayleigh_normalized,
+                  tau_mix=aspace._tau_mix)
+    ie, ve = fused_query_pipeline(xu, lam, lap_f, w_f, ts, q, tau,
+                                  topk=10, backend="xla", **common)
+    xq, scales = quantize_rows(xu)
+    iq, vq = fused_query_pipeline_quantized(xu, xq, scales, lam, lap_f,
+                                            w_f, ts, q, tau, topk=10,
+                                            rescore_m=40, **common)
+    ie, iq = np.asarray(ie), np.asarray(iq)
+    overlap = np.mean([len(set(ie[r]) & set(iq[r])) / 10.0
+                       for r in range(16)])
+    assert overlap >= 0.99, overlap
+    same = ie == iq
+    np.testing.assert_allclose(np.asarray(ve)[same], np.asarray(vq)[same],
+                               rtol=1e-5)
+
+
+def test_quantize_rows_bounds():
+    """Per-row int8 quantization: elements in [-127, 127], dequant within
+    one half-step of the input, zero rows exactly preserved."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.ops.quantize import quantize_rows
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(50, 64)).astype(np.float32)
+    x[7] = 0.0
+    xq, s = quantize_rows(jnp.asarray(x))
+    xq, s = np.asarray(xq), np.asarray(s)
+    assert xq.dtype == np.int8 and np.all(np.abs(xq) <= 127)
+    deq = xq.astype(np.float32) * s[:, None]
+    err = np.abs(deq - x)
+    assert np.all(err <= s[:, None] * 0.5 + 1e-7)
+    assert np.all(deq[7] == 0.0)
