@@ -46,7 +46,7 @@ def laplacian_from_sq_dists(d2: jnp.ndarray, *, k_f: int,
     sigma_scale (a traced scalar) -> Gaussian-kernel adjacency
     w = exp(-d^2 / (2 sigma^2)) with sigma = sigma_scale * median kept
     k-NN distance.  Used on the reduction path (centroid signals): the
-    builder passes sigma_scale = sqrt(eps/10), threading the
+    builder passes sigma_scale = eps/10, threading the
     dims-reduction tolerance into the feature graph CONTINUOUSLY.  Two
     deliberate properties: (a) a binary graph over well-separated
     centroid columns is bit-stable under small eps/K perturbations,

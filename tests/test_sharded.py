@@ -192,3 +192,81 @@ def test_sharded_rayleigh_normalized_carried():
     np.testing.assert_allclose(sv, av, rtol=1e-8)
     back = sspace.to_local()
     assert back._rayleigh_normalized is True
+
+
+class TestShardedSymmetrize:
+    """Sharded symmetrize (all_to_all reverse-edge routing) must be
+    bit-identical to the replicated ops.symmetrize_to_ell — same sort
+    keys, same tie-breaks, same symmetric both-fit rule, same drop count
+    (VERDICT weak #6: the replicated path sorts all 2Nk entries on every
+    chip)."""
+
+    def _ref_inputs(self, seed, n, k, eps):
+        import jax.numpy as jnp
+        from pyarrowspace_tpu.ops.distance import (kernel_weights,
+                                                   unit_normalize)
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, 24)) + 0.3
+        xu = np.asarray(unit_normalize(jnp.asarray(x)))
+        d = 1.0 - np.maximum(xu @ xu.T, 0.0)
+        np.fill_diagonal(d, np.inf)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+        dd = np.take_along_axis(d, idx, 1)
+        keep = dd <= eps
+        i = np.where(keep, idx, -1).astype(np.int32)
+        w = np.asarray(kernel_weights(
+            jnp.asarray(np.where(keep, dd, 2.0)), 0.3, 2.0))
+        return i, np.where(i >= 0, w, 0.0)
+
+    @pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+    def test_bit_parity_vs_replicated(self, n_dev):
+        import jax.numpy as jnp
+        from pyarrowspace_tpu.ops.symmetrize import symmetrize_to_ell
+        from pyarrowspace_tpu.parallel.mesh import make_mesh
+        from pyarrowspace_tpu.parallel.sharded import sharded_symmetrize
+        n, k = 333, 6
+        i, w = self._ref_inputs(0, n, k, 0.9)
+        m = 2 * k
+        ref = symmetrize_to_ell(jnp.asarray(i), jnp.asarray(w), m)
+        block = n_dev * 128
+        n_pad = ((n + block - 1) // block) * block
+        ip = np.full((n_pad, k), -1, dtype=np.int32)
+        ip[:n] = i
+        wp = np.zeros((n_pad, k))
+        wp[:n] = w
+        got = sharded_symmetrize(jnp.asarray(ip), jnp.asarray(wp), m, n,
+                                 n_dev, make_mesh(n_dev))
+        np.testing.assert_array_equal(np.asarray(ref[0]),
+                                      np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]),
+                                      np.asarray(got[1]))
+        np.testing.assert_array_equal(np.asarray(ref[2]),
+                                      np.asarray(got[2]))
+        assert int(ref[3]) == int(got[3])
+
+    def test_overflow_falls_back_to_exact(self):
+        """Pathological column concentration (every row's neighbors in
+        block 0) overflows the off-diagonal buckets; the fallback keeps
+        bit parity instead of silently dropping edges."""
+        import jax.numpy as jnp
+        from pyarrowspace_tpu.ops.symmetrize import symmetrize_to_ell
+        from pyarrowspace_tpu.parallel.mesh import make_mesh
+        from pyarrowspace_tpu.parallel.sharded import (
+            _sharded_symmetrize_jit, sharded_symmetrize)
+        n, k, n_dev = 1024, 6, 8
+        rng = np.random.default_rng(1)
+        i = np.tile(np.arange(k, dtype=np.int32), (n, 1))
+        for r in range(k):           # no self-loops in the toy lists
+            i[r] = np.arange(1, k + 1, dtype=np.int32)
+        w = rng.uniform(0.2, 1.0, size=(n, k))
+        mesh = make_mesh(n_dev)
+        _, _, _, _, overflow = _sharded_symmetrize_jit(
+            jnp.asarray(i), jnp.asarray(w), ell_width=2 * k, n_real=n,
+            n_dev=n_dev, mesh=mesh)
+        assert int(overflow[0]) > 0   # the pathology actually overflows
+        ref = symmetrize_to_ell(jnp.asarray(i), jnp.asarray(w), 2 * k)
+        got = sharded_symmetrize(jnp.asarray(i), jnp.asarray(w), 2 * k, n,
+                                 n_dev, mesh)
+        np.testing.assert_array_equal(np.asarray(ref[0]),
+                                      np.asarray(got[0]))
+        assert int(ref[3]) == int(got[3])
