@@ -34,7 +34,7 @@ from pyarrowspace_tpu.eval.ir import evaluate_run, paired_t_test
 TAU = 0.62
 K_EVAL = 10
 GRAPH_PARAMS = {"eps": 10.0, "k": 25, "topk": 15, "p": 2.0, "sigma": None}
-N_EVAL_QUERIES = 100
+N_EVAL_QUERIES = 200
 SCALING = 100.0   # reference test_3_beir.py:19 (x100, lambda collapses at x1)
 
 
@@ -47,9 +47,9 @@ def load_protocol_data(seed_q: int = 3):
         return (corpus * SCALING, queries * SCALING, relevant,
                 "MS MARCO (BeIR)")
     corpus, _, _, _ = heteroscedastic_clusters(
-        n_groups=400, per_group=50, dim=768)
+        n_groups=120, per_group=40, dim=768)
     queries, relevant = ambiguous_single_relevant_queries(
-        corpus, N_EVAL_QUERIES, seed=seed_q, distractor_weight=0.63)
+        corpus, N_EVAL_QUERIES, seed=seed_q, distractor_weight=(0.45, 1.0))
     return corpus, queries, relevant, "synthetic-heteroscedastic"
 
 

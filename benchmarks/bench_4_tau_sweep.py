@@ -31,7 +31,7 @@ from pyarrowspace_tpu.eval.ir import evaluate_run, paired_t_test
 TAU_MODES = {"cosine": 1.0, "taumode": 0.62, "extra-taumode": 0.42}
 K_EVAL = 10
 GRAPH_PARAMS = {"eps": 10.0, "k": 25, "topk": 15, "p": 2.0, "sigma": None}
-N_EVAL_QUERIES = 100
+N_EVAL_QUERIES = 200
 
 
 def main():
@@ -42,9 +42,9 @@ def main():
         dataset = "MS MARCO (BeIR)"
     else:
         corpus, _, _, _ = heteroscedastic_clusters(
-            n_groups=400, per_group=50, dim=768)
+            n_groups=120, per_group=40, dim=768)
         queries, relevant = ambiguous_single_relevant_queries(
-            corpus, N_EVAL_QUERIES, seed=3, distractor_weight=0.63)
+            corpus, N_EVAL_QUERIES, seed=3, distractor_weight=(0.45, 1.0))
         dataset = "synthetic-heteroscedastic"
     (aspace, gl), t_build = timed(ArrowSpaceBuilder.build, GRAPH_PARAMS,
                                   corpus)

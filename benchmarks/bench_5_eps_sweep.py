@@ -34,7 +34,7 @@ BASE_EPS = 10.0
 EPS_VALUES = [BASE_EPS * m for m in (0.5, 1.0, 1.5)]   # test_5:19-23
 TAU = 0.62
 K_EVAL = 10
-N_EVAL_QUERIES = 100
+N_EVAL_QUERIES = 200
 
 
 def main():
@@ -45,9 +45,9 @@ def main():
         dataset = "MS MARCO (BeIR)"
     else:
         corpus, _, _, _ = heteroscedastic_clusters(
-            n_groups=400, per_group=50, dim=768)
+            n_groups=120, per_group=40, dim=768)
         queries, relevant = ambiguous_single_relevant_queries(
-            corpus, N_EVAL_QUERIES, seed=5, distractor_weight=0.63)
+            corpus, N_EVAL_QUERIES, seed=5, distractor_weight=(0.45, 1.0))
         dataset = "synthetic-heteroscedastic"
     print(f"dataset: {dataset} {corpus.shape}")
 

@@ -303,17 +303,38 @@ class ArrowSpace:
         The high-QPS serving path (BASELINE.json north-star).
 
         mode "exact" (default) scans the full corpus in one fused dispatch;
+        "int8" runs the quantized candidate scan (int8 MXU rate) with an
+        exact f32 rescore of a 4x-topk pool — served results match the
+        exact scan whenever the true top-k survives the pool (measured
+        top-10 overlap >= 0.99 at 1M x 768, bench.py BENCH_QPS);
         "ivf" routes through the n_probe nearest clusters per query
         (gather-based, best up to ~10^5 items); "ivf_block" uses the
         cluster-contiguous Pallas slab kernel (block-shared probes,
-        large-corpus scale).  Both are approximate; enable_ivf() is built
-        on demand."""
+        large-corpus scale).  ivf modes are approximate; enable_ivf() is
+        built on demand."""
         q = jnp.asarray(queries, dtype=self._data.dtype)
         if q.ndim != 2 or q.shape[1] != self.nfeatures:
             raise ValueError(
                 f"queries must be [Q, {self.nfeatures}], got {q.shape}")
         topk = gl.params.topk if topk is None else int(topk)
         topk = min(topk, self.nitems)
+        if mode == "int8":
+            if getattr(self, "_quantized", None) is None:
+                from ..ops.quantize import quantize_rows
+                self._quantized = quantize_rows(
+                    self._data_unit.astype(jnp.float32))
+            xq, scales = self._quantized
+            idx, vals = search_ops.fused_query_pipeline_quantized(
+                self._data_unit.astype(jnp.float32), xq, scales,
+                self._lambdas.astype(jnp.float32),
+                self._lap_f.astype(jnp.float32),
+                self._w_f.astype(jnp.float32),
+                self._tau_star.astype(jnp.float32),
+                q.astype(jnp.float32), jnp.float32(tau), topk=topk,
+                rescore_m=min(4 * topk, self.nitems),
+                rayleigh_normalized=self._rayleigh_normalized,
+                tau_mix=self._tau_mix)
+            return np.asarray(idx), np.asarray(vals)
         if mode in ("ivf", "ivf_block"):
             from ..ops.distance import unit_normalize
             if getattr(self, "_ivf", None) is None:

@@ -204,7 +204,10 @@ def _build_standard_inner(items, gp: GraphParams,
         # Reduction path: eps-kernel feature weights (continuous eps
         # response, see graph/feature.laplacian_from_sq_dists); raw-signal
         # path keeps the calibrated binary construction.
-        sig_scale = (float(gp.eps / 10.0)
+        # Clamped: an unclamped eps/10 underflows every Gaussian weight
+        # to zero for small-eps protocols (Quora eps=0.5 -> exp(-200)),
+        # collapsing all lambdas.
+        sig_scale = (float(np.clip(gp.eps / 10.0, 0.25, 4.0))
                      if centroids is not None else None)
         w_f, lap_f, _ = build_feature_laplacian(signals, k_f=k_f,
                                                 sigma_scale=sig_scale)

@@ -614,7 +614,7 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
             # (graph/build.py) — sharded must stay numerically identical.
             w_f, lap_f, _ = build_feature_laplacian(
                 centroids, k_f=k_f,
-                sigma_scale=float(gp.eps / 10.0))
+                sigma_scale=float(np.clip(gp.eps / 10.0, 0.25, 4.0)))
         else:
             d2_cols = _sharded_col_sq_dists(stored_pad, mesh=mesh)
             w_f, lap_f, _ = laplacian_from_sq_dists(d2_cols, k_f=k_f)

@@ -214,3 +214,15 @@ def test_quantize_rows_bounds():
     err = np.abs(deq - x)
     assert np.all(err <= s[:, None] * 0.5 + 1e-7)
     assert np.all(deq[7] == 0.0)
+
+
+def test_search_batch_int8_mode(built):
+    """mode="int8" serves the same top-k as exact on this corpus."""
+    aspace, gl, items = built
+    rng = np.random.default_rng(31)
+    queries = items[rng.choice(items.shape[0], 8, replace=False)] * 1.01
+    ei, ev = aspace.search_batch(queries, gl, 0.62)
+    qi, qv = aspace.search_batch(queries, gl, 0.62, mode="int8")
+    overlap = np.mean([len(set(ei[r]) & set(qi[r])) / ei.shape[1]
+                       for r in range(8)])
+    assert overlap >= 0.99, overlap
