@@ -1,0 +1,56 @@
+"""Subtile-max scan (ops/pallas/subtile_scan): correctness of the
+block-max routed serving path vs the exact scan."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def state():
+    import jax
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas.subtile_scan import build_subtile_state
+    rng = np.random.default_rng(0)
+    n, f = 5000, 256
+    xu = unit_normalize(jnp.asarray(
+        rng.standard_normal((n, f), dtype=np.float32)))
+    lam = jnp.asarray(rng.uniform(0.05, 0.3, n).astype(np.float32))
+    st = build_subtile_state(xu, lam, scan_dtype=jnp.float32)
+    return st, xu, lam, rng
+
+
+def test_subtile_matches_exact(state):
+    from pyarrowspace_tpu.ops.pallas.subtile_scan import subtile_search
+    from pyarrowspace_tpu.ops.search import lambda_aware_topk_batch
+    st, xu, lam, rng = state
+    q = 64
+    qn = jnp.asarray(rng.standard_normal((q, xu.shape[1]),
+                                         dtype=np.float32))
+    qn = qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
+    lam_q = jnp.asarray(rng.uniform(0.05, 0.3, q).astype(np.float32))
+    tau = jnp.float32(0.62)
+    idx_s, val_s = subtile_search(st["xu_scan"], st["xq"], st["scales"],
+                                  st["xu_f32"], st["lambdas"],
+                                  qn, lam_q, tau, topk=10,
+                                  n_subtiles_keep=16, pool_m=64)
+    idx_e, val_e = lambda_aware_topk_batch(
+        xu.astype(jnp.float32), lam, qn, lam_q, tau, 10)
+    ie, isb = np.asarray(idx_e), np.asarray(idx_s)
+    overlap = np.mean([len(set(ie[i]) & set(isb[i])) / 10.0
+                       for i in range(q)])
+    assert overlap >= 0.99, overlap
+    same = ie == isb
+    np.testing.assert_allclose(np.asarray(val_e)[same],
+                               np.asarray(val_s)[same], rtol=1e-5)
+
+
+def test_subtile_pad_guard(state):
+    from pyarrowspace_tpu.ops.pallas.subtile_scan import subtile_search
+    st, xu, lam, rng = state
+    qn = jnp.zeros((4, xu.shape[1]), jnp.float32)
+    with pytest.raises(ValueError, match="padded"):
+        subtile_search(xu.astype(jnp.float32), st["xq"], st["scales"],
+                       st["xu_f32"], st["lambdas"], qn,
+                       jnp.zeros((4,), jnp.float32), 0.62, topk=5)
