@@ -25,8 +25,12 @@ TPU-first design notes:
   * splitting: the top split_quantile fraction of centroids by
     member-dispersion is replaced by 3 nodes each — the centroid and two
     copies offset by ±split_tau along its dominant member-residual
-    direction (power iteration); the default 0.9 reproduces the observed
-    ~3x node growth (40 optical tokens -> 120 graph nodes);
+    direction (power iteration).  The default 0.9 splits the top ~90% of
+    centroids: 40 optical tokens -> 112 graph nodes (36 of 40 split; the
+    reference's recorded 313k run shows 120, i.e. all 40 split — its
+    quantile semantics there are saturated; this implementation keeps
+    the documented "top split_quantile fraction" semantics, a documented
+    behavior-level deviation of 8 nodes);
   * trimmed binning: per-centroid energy statistics drop the top
     trim_quantile fraction of member distances before stats are computed.
 """

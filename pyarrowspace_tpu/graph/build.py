@@ -83,8 +83,10 @@ DEFAULT_BUILD_CONFIG = BuildConfig()
 
 def validate_items(items) -> np.ndarray:
     """Ingest validation with reference-identical error text
-    (reference src/helpers.rs:24-46)."""
-    arr = np.asarray(items)
+    (reference src/helpers.rs:24-46).  Device-resident corpora pass
+    through without a host round-trip (np.asarray on a jax.Array would
+    pull the whole corpus back over the link)."""
+    arr = items if isinstance(items, jax.Array) else np.asarray(items)
     if arr.ndim != 2 or arr.shape[0] == 0 or arr.shape[1] == 0:
         raise ValueError("items must be non-empty 2D array")
     n, d = arr.shape
