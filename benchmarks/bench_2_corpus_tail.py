@@ -75,6 +75,31 @@ def main():
                    [r["ndcg_vs_cosine"] for r in rows if r["tau"] == 0.62]))}
     save_json(d / "test_results.json", summary)
 
+    # Score-decay plot per method (reference test_2:398-536 PNG artifacts):
+    # descending score curves for cosine vs lambda-aware at each tau.
+    import os
+    if os.environ.get("ARROWSPACE_PLOTS", "1") != "0":
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        q = queries[0]
+        cos_scores = np.sort(xu @ (q / np.linalg.norm(q)))[::-1][:200]
+        fig, ax = plt.subplots(figsize=(7, 4))
+        ax.plot(cos_scores, label="cosine", lw=2)
+        topk_all = min(200, corpus.shape[0])
+        for tau in TAUS:
+            idx, vals = aspace.search_batch(q.reshape(1, -1), gl, tau,
+                                            topk=topk_all)
+            ax.plot(np.asarray(vals)[0], label=f"tau={tau}")
+        ax.set_xlabel("rank")
+        ax.set_ylabel("score")
+        ax.set_title("Score decay by method (query 0)")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(d / "score_decay.png", dpi=120)
+        plt.close(fig)
+        print(f"wrote {d / 'score_decay.png'}")
+
 
 if __name__ == "__main__":
     main()

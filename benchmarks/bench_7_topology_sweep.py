@@ -1,8 +1,8 @@
-"""Topology metrics + tau sweep with summary report (port of
+"""Topology metrics + tau sweep with summary report and plots (port of
 tests/test_7_beir_new_score_sweep.py: taus [0.62, 0.8, 0.42, 0.0],
-K_RESULTS=K_EVAL=50, KNN_K=10, per-tau comparisons + text summary; the
-reference's ~370 lines of radar/heatmap plotting are replaced by an
-optional matplotlib heatmap gated on ARROWSPACE_PLOTS=1)."""
+K_RESULTS=K_EVAL=50, KNN_K=10, per-tau comparisons + text summary +
+the reference's artifact set — radar chart, metric heatmap, per-query
+bars (reference test_7:500-878).  ARROWSPACE_PLOTS=0 disables plots."""
 
 import os
 import sys
@@ -56,12 +56,13 @@ def main():
             per_metric["mrr_topo"].append(mrr_topo(rel, tf))
             per_metric["sqi"].append(sqi(g, retrieved, int(qi), n2c,
                                          k=K_EVAL))
-        return {m: float(np.mean(v)) for m, v in per_metric.items()}
+        means = {m: float(np.mean(v)) for m, v in per_metric.items()}
+        return means, per_metric
 
-    baseline = evaluate(1.0)
-    sweep = {"1.0": baseline}
+    baseline, baseline_pq = evaluate(1.0)
+    sweep, per_query = {"1.0": baseline}, {"1.0": baseline_pq}
     for tau in TAUS:
-        sweep[str(tau)] = evaluate(tau)
+        sweep[str(tau)], per_query[str(tau)] = evaluate(tau)
         print(f"tau={tau}: {sweep[str(tau)]}")
 
     d = out_dir("topology_sweep")
@@ -76,21 +77,64 @@ def main():
     print(f"wrote {d / 'summary_report.txt'}")
     save_json(d / "sweep.json", {"sweep": sweep, "build_time_s": t_build})
 
-    if os.environ.get("ARROWSPACE_PLOTS") == "1":
+    if os.environ.get("ARROWSPACE_PLOTS", "1") != "0":
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         metrics = list(baseline)
         taus = list(sweep)
+
+        # Metric x tau heatmap (reference test_7 heatmaps).
         grid = np.array([[sweep[t][m] for m in metrics] for t in taus])
         fig, ax = plt.subplots(figsize=(8, 4))
         im = ax.imshow(grid, aspect="auto", cmap="viridis")
         ax.set_xticks(range(len(metrics)), metrics)
         ax.set_yticks(range(len(taus)), [f"tau={t}" for t in taus])
+        ax.set_title("Topology metrics across tau")
         fig.colorbar(im)
         fig.tight_layout()
         fig.savefig(d / "heatmap.png", dpi=120)
+        plt.close(fig)
         print(f"wrote {d / 'heatmap.png'}")
+
+        # Radar chart: one polygon per tau over the 5 topology metrics
+        # (reference test_7 radar charts).
+        ang = np.linspace(0, 2 * np.pi, len(metrics), endpoint=False)
+        ang_c = np.concatenate([ang, ang[:1]])
+        fig, ax = plt.subplots(figsize=(6, 6),
+                               subplot_kw=dict(projection="polar"))
+        for t in taus:
+            vals = [sweep[t][m] for m in metrics]
+            vals_c = vals + vals[:1]
+            ax.plot(ang_c, vals_c, label=f"tau={t}")
+            ax.fill(ang_c, vals_c, alpha=0.08)
+        ax.set_xticks(ang, metrics)
+        ax.set_title("Topology metric profile per tau")
+        ax.legend(loc="upper right", bbox_to_anchor=(1.25, 1.1))
+        fig.tight_layout()
+        fig.savefig(d / "radar.png", dpi=120)
+        plt.close(fig)
+        print(f"wrote {d / 'radar.png'}")
+
+        # Per-query bars: cosine vs the best non-cosine tau on TD-nDCG
+        # (reference test_7 per-query bar charts).
+        best_tau = max((str(t) for t in TAUS),
+                       key=lambda t: sweep[t]["td_ndcg"])
+        width = 0.4
+        x = np.arange(len(qidx))
+        fig, ax = plt.subplots(figsize=(8, 3.5))
+        ax.bar(x - width / 2, per_query["1.0"]["td_ndcg"], width,
+               label="cosine (tau=1.0)")
+        ax.bar(x + width / 2, per_query[best_tau]["td_ndcg"], width,
+               label=f"tau={best_tau}")
+        ax.set_xticks(x, [str(int(q)) for q in qidx], rotation=45)
+        ax.set_xlabel("query id")
+        ax.set_ylabel("TD-nDCG")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(d / "per_query_td_ndcg.png", dpi=120)
+        plt.close(fig)
+        print(f"wrote {d / 'per_query_td_ndcg.png'}")
 
 
 if __name__ == "__main__":

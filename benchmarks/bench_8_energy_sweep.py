@@ -82,6 +82,37 @@ def run_sweep(corpus, etas=ETAS, steps_list=STEPS, n_queries=N_QUERIES):
     return rows, t_std
 
 
+def _plot_heatmap(rows, d):
+    """eta x steps MRR heatmap (reference test_8:347-425)."""
+    import os
+    if os.environ.get("ARROWSPACE_PLOTS", "1") == "0":
+        return
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    ok = [r for r in rows if r["status"] == "OK"]
+    etas = sorted({r["eta"] for r in ok})
+    steps = sorted({r["steps"] for r in ok})
+    grid = np.full((len(etas), len(steps)), np.nan)
+    for r in ok:
+        grid[etas.index(r["eta"]), steps.index(r["steps"])] = r["mrr"]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    im = ax.imshow(grid, aspect="auto", cmap="viridis", vmin=0, vmax=1)
+    ax.set_xticks(range(len(steps)), [f"steps={s}" for s in steps])
+    ax.set_yticks(range(len(etas)), [f"eta={e}" for e in etas])
+    for i in range(len(etas)):
+        for j in range(len(steps)):
+            if np.isfinite(grid[i, j]):
+                ax.text(j, i, f"{grid[i, j]:.2f}", ha="center",
+                        va="center", color="white")
+    ax.set_title("EnergyMaps diffusion sweep — MRR")
+    fig.colorbar(im)
+    fig.tight_layout()
+    fig.savefig(d / "diffusion_sweep_heatmap.png", dpi=120)
+    plt.close(fig)
+    print(f"wrote {d / 'diffusion_sweep_heatmap.png'}")
+
+
 def main():
     # Heteroscedastic clusters: per-cluster norm/noise jitter spreads the
     # energies so the (cosine-free) energy index has signal to route on.
@@ -91,6 +122,7 @@ def main():
     rows, t_std = run_sweep(corpus)
     d = out_dir("energy_sweep")
     save_csv(d / "diffusion_sweep_results.csv", rows)
+    _plot_heatmap(rows, d)
     ok = [r for r in rows if r["status"] == "OK"]
     best = max(ok, key=lambda r: r["mrr"]) if ok else None
     save_json(d / "summary.json",
