@@ -270,3 +270,33 @@ class TestShardedSymmetrize:
         np.testing.assert_array_equal(np.asarray(ref[0]),
                                       np.asarray(got[0]))
         assert int(ref[3]) == int(got[3])
+
+    @pytest.mark.parametrize("seed,n,k,eps,n_dev", [
+        (3, 777, 9, 1.2, 8),
+        (4, 1024, 3, 0.4, 4),
+        (5, 400, 12, 1.9, 8),   # eps 1.9: every pair within eps (max d=2)
+        (6, 513, 7, 0.05, 2),   # tight eps: most rows nearly edgeless
+    ])
+    def test_fuzz_parity(self, seed, n, k, eps, n_dev):
+        """Randomized corpora across shard counts, edge densities, and
+        degenerate regimes (near-complete and near-empty graphs)."""
+        import jax.numpy as jnp
+        from pyarrowspace_tpu.ops.symmetrize import symmetrize_to_ell
+        from pyarrowspace_tpu.parallel.mesh import make_mesh
+        from pyarrowspace_tpu.parallel.sharded import sharded_symmetrize
+        i, w = self._ref_inputs(seed, n, k, eps)
+        m = 2 * k
+        ref = symmetrize_to_ell(jnp.asarray(i), jnp.asarray(w), m)
+        block = n_dev * 128
+        n_pad = ((n + block - 1) // block) * block
+        ip = np.full((n_pad, k), -1, dtype=np.int32)
+        ip[:n] = i
+        wp = np.zeros((n_pad, k))
+        wp[:n] = w
+        got = sharded_symmetrize(jnp.asarray(ip), jnp.asarray(wp), m, n,
+                                 n_dev, make_mesh(n_dev))
+        np.testing.assert_array_equal(np.asarray(ref[0]),
+                                      np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]),
+                                      np.asarray(got[1]))
+        assert int(ref[3]) == int(got[3])
