@@ -104,6 +104,139 @@ int asx_knn_f64(const double* data, int64_t n, int64_t f, int64_t k,
     return 0;
 }
 
+// ----------------------------------------------------------- symmetrize ---
+// Union-symmetrize a directed k-NN candidate graph into padded-ELL form
+// with the EXACT semantics of pyarrowspace_tpu/ops/symmetrize.py
+// (placement order (-w, col); mutual-edge dedup; an edge survives only if
+// it ranks within ell_width in BOTH endpoint rows; n_dropped counts the
+// ordered entries removed by the cap).  OpenMP across rows — the host
+// golden/fallback engine for the device op, and the rayon/sprs analogue
+// of the reference's native symmetrization (SURVEY.md N7).
+int asx_symmetrize_ell(const int32_t* idx, const double* w, int64_t n,
+                       int64_t k, int64_t m, int32_t* out_idx,
+                       double* out_w, int64_t* n_dropped) {
+    if (!idx || !w || n <= 0 || k <= 0 || m <= 0) return -1;
+    struct Cand {
+        double w;
+        int32_t col;
+        int32_t src_row;   // forward edge (src_row, src_slot)
+        int32_t src_slot;
+        uint8_t is_fwd;
+    };
+    // Per-row neighbor (col, slot) sorted by col, for mutual lookups.
+    std::vector<std::pair<int32_t, int32_t>> nbr(
+        static_cast<size_t>(n) * k);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        auto* row = nbr.data() + i * k;
+        for (int64_t s = 0; s < k; ++s)
+            row[s] = {idx[i * k + s], static_cast<int32_t>(s)};
+        std::sort(row, row + k);
+    }
+    auto find_slot = [&](int64_t row, int32_t col) -> int32_t {
+        const auto* base = nbr.data() + row * k;
+        auto it = std::lower_bound(base, base + k,
+                                   std::make_pair(col, INT32_MIN));
+        if (it != base + k && it->first == col) return it->second;
+        return -1;
+    };
+    // Mutual flags + per-row candidate counts (forward + non-mutual rev).
+    std::vector<int32_t> partner(static_cast<size_t>(n) * k, -1);
+    std::vector<int64_t> cnt(n + 1, 0);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t fwd = 0;
+        for (int64_t s = 0; s < k; ++s)
+            if (idx[i * k + s] >= 0) ++fwd;
+#pragma omp atomic
+        cnt[i] += fwd;
+    }
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t s = 0; s < k; ++s) {
+            const int32_t j = idx[i * k + s];
+            if (j < 0) continue;
+            const int32_t pslot = find_slot(j, static_cast<int32_t>(i));
+            partner[i * k + s] = pslot;
+            if (pslot < 0) {        // non-mutual -> reverse copy into row j
+#pragma omp atomic
+                ++cnt[j];
+            }
+        }
+    }
+    std::vector<int64_t> off(n + 1, 0);
+    for (int64_t i = 0; i < n; ++i) off[i + 1] = off[i] + cnt[i];
+    std::vector<Cand> cand(off[n]);
+    std::vector<int64_t> cursor(off.begin(), off.end() - 1);
+    // Fill forward entries (per-row serial), then reverse (atomic cursor).
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t s = 0; s < k; ++s) {
+            const int32_t j = idx[i * k + s];
+            if (j < 0) continue;
+            cand[cursor[i]++] = {w[i * k + s], j, static_cast<int32_t>(i),
+                                 static_cast<int32_t>(s), 1};
+        }
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t s = 0; s < k; ++s) {
+            const int32_t j = idx[i * k + s];
+            if (j < 0 || partner[i * k + s] >= 0) continue;
+            cand[cursor[j]++] = {w[i * k + s], static_cast<int32_t>(i),
+                                 static_cast<int32_t>(i),
+                                 static_cast<int32_t>(s), 0};
+        }
+    // Per-row order (-w, col); fit = rank < m.
+    std::vector<uint8_t> fwd_fit(static_cast<size_t>(n) * k, 0);
+    std::vector<uint8_t> rev_fit(static_cast<size_t>(n) * k, 0);
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t r = 0; r < n; ++r) {
+        std::sort(cand.data() + off[r], cand.data() + off[r + 1],
+                  [](const Cand& a, const Cand& b) {
+                      if (a.w != b.w) return a.w > b.w;
+                      return a.col < b.col;
+                  });
+        for (int64_t p = off[r]; p < off[r + 1]; ++p) {
+            const Cand& c = cand[p];
+            const uint8_t fit = (p - off[r]) < m;
+            const size_t e = static_cast<size_t>(c.src_row) * k + c.src_slot;
+            if (c.is_fwd) fwd_fit[e] = fit;
+            else rev_fit[e] = fit;
+        }
+    }
+    // Survival + outputs.
+    int64_t dropped = 0;
+#pragma omp parallel for schedule(dynamic, 64) reduction(+ : dropped)
+    for (int64_t r = 0; r < n; ++r) {
+        int64_t outp = 0;
+        for (int64_t p = off[r]; p < off[r + 1]; ++p) {
+            const Cand& c = cand[p];
+            const size_t e = static_cast<size_t>(c.src_row) * k + c.src_slot;
+            uint8_t surv;
+            if (c.is_fwd) {
+                const int32_t ps = partner[e];
+                const uint8_t pfit =
+                    ps >= 0 ? fwd_fit[static_cast<size_t>(c.col) * k + ps]
+                            : rev_fit[e];
+                surv = fwd_fit[e] && pfit;
+            } else {
+                surv = rev_fit[e] && fwd_fit[e];
+            }
+            if (surv && outp < m) {
+                out_idx[r * m + outp] = c.col;
+                out_w[r * m + outp] = c.w;
+                ++outp;
+            } else if (!surv) {
+                ++dropped;
+            }
+        }
+        for (; outp < m; ++outp) {
+            out_idx[r * m + outp] = -1;
+            out_w[r * m + outp] = 0.0;
+        }
+    }
+    *n_dropped = dropped;
+    return 0;
+}
+
 // ------------------------------------------------------------------- io ---
 // Minimal binary blob segment: magic + payload size, page-aligned payload so
 // readers can mmap it zero-copy.

@@ -67,6 +67,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32)]
+        lib.asx_symmetrize_ell.restype = ctypes.c_int
+        lib.asx_symmetrize_ell.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.asx_write_blob.restype = ctypes.c_int
         lib.asx_write_blob.argtypes = [ctypes.c_char_p,
                                        ctypes.POINTER(ctypes.c_uint8),
@@ -118,6 +124,33 @@ def knn_host(data: np.ndarray, k: int, eps: float
     if rc != 0:
         return None
     return out_d, out_i
+
+
+def symmetrize_host(idx: np.ndarray, w: np.ndarray, ell_width: int
+                    ) -> Optional[tuple[np.ndarray, np.ndarray, int]]:
+    """Host OpenMP symmetrize-to-ELL with ops/symmetrize.py's exact
+    semantics (golden/fallback engine).  Returns (nbr_idx [n,m] int32,
+    nbr_w [n,m] f64, n_dropped) or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx_c = np.ascontiguousarray(idx, dtype=np.int32)
+    w_c = np.ascontiguousarray(w, dtype=np.float64)
+    n, k = idx_c.shape
+    m = int(ell_width)
+    out_i = np.empty((n, m), dtype=np.int32)
+    out_w = np.empty((n, m), dtype=np.float64)
+    dropped = ctypes.c_int64(0)
+    rc = lib.asx_symmetrize_ell(
+        idx_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        w_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, k, m,
+        out_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.byref(dropped))
+    if rc != 0:
+        return None
+    return out_i, out_w, dropped.value
 
 
 def write_blob(path: str, payload: bytes) -> bool:

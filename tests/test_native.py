@@ -46,3 +46,35 @@ def test_blob_rejects_garbage(tmp_path):
     with open(path, "wb") as fh:
         fh.write(b"not a blob")
     assert native.read_blob(path) is None
+
+
+def test_native_symmetrize_matches_device_op():
+    """The OpenMP host symmetrize reproduces ops/symmetrize.py bit-exactly
+    (order, dedup, both-fit cap, drop count) across edge densities."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.io.native import native_available, symmetrize_host
+    from pyarrowspace_tpu.ops.symmetrize import symmetrize_to_ell
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    from pyarrowspace_tpu.ops.distance import kernel_weights, unit_normalize
+    for seed, n, k, eps in [(0, 333, 6, 0.9), (1, 500, 10, 1.9),
+                            (2, 200, 4, 0.05)]:
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, 24)) + 0.3
+        xu = np.asarray(unit_normalize(jnp.asarray(x)))
+        d = 1.0 - np.maximum(xu @ xu.T, 0.0)
+        np.fill_diagonal(d, np.inf)
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        dd = np.take_along_axis(d, order, 1)
+        keep = dd <= eps
+        i = np.where(keep, order, -1).astype(np.int32)
+        w = np.asarray(kernel_weights(jnp.asarray(np.where(keep, dd, 2.0)),
+                                      0.3, 2.0))
+        w = np.where(i >= 0, w, 0.0)
+        m = 2 * k
+        ref = symmetrize_to_ell(jnp.asarray(i), jnp.asarray(w), m)
+        got = symmetrize_host(i, w, m)
+        assert got is not None
+        np.testing.assert_array_equal(np.asarray(ref[0]), got[0])
+        np.testing.assert_allclose(np.asarray(ref[1]), got[1], rtol=1e-12)
+        assert int(ref[3]) == got[2], (seed, int(ref[3]), got[2])
