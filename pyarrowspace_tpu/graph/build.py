@@ -178,9 +178,43 @@ def _build_standard_inner(items, gp: GraphParams,
         ell_width = (config.ell_width if config.ell_width is not None
                      else 2 * gp.k)
         ell_width = min(ell_width, max(n - 1, 1))
-        nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(
-            i, w, ell_width)
-        n_dropped = int(n_dropped)
+        # Predictive host cut: the fused device sort holds ~10 x 2Nk entry
+        # temps next to the resident corpus; at 1M x 768 / k=25 that tips
+        # a 16 GB chip over and the failed compile alone costs minutes.
+        # ARROWSPACE_SYMMETRIZE=host forces the native engine; =device
+        # forces the device op.
+        mode = _os.environ.get("ARROWSPACE_SYMMETRIZE", "auto")
+        predict_oom = (mode == "host"
+                       or (mode == "auto" and n * gp.k > 20_000_000
+                           and f >= 512))
+        try:
+            if predict_oom:
+                raise MemoryError("predicted symmetrize OOM "
+                                  f"(n*k={n * gp.k}, f={f})")
+            nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(
+                i, w, ell_width)
+            n_dropped = int(n_dropped)
+        except Exception as e:  # device OOM -> native host engine
+            if ("out of memory" not in str(e).lower()
+                    and not isinstance(e, MemoryError)):
+                raise
+            # The fused device sort needs ~10 x 2Nk entries of HBM temps;
+            # at 1M x 768 that tips a 16 GB chip over.  The OpenMP host
+            # engine (native/arrowspace_host.cpp::asx_symmetrize_ell,
+            # bit-identical semantics — tests/test_native.py) takes over:
+            # pull [N,k] candidates, symmetrize on host, push the ELL.
+            from ..io.native import symmetrize_host
+            dbg_println("symmetrize: device OOM -> native host engine")
+            log.warning("symmetrize fell back to the native host engine "
+                        "(device OOM: %s)", str(e).splitlines()[0][:120])
+            host = symmetrize_host(np.asarray(i), np.asarray(w, np.float64),
+                                   ell_width)
+            if host is None:
+                raise
+            h_idx, h_w, n_dropped = host
+            nbr_idx = jnp.asarray(h_idx)
+            nbr_w = jnp.asarray(h_w.astype(np.asarray(w).dtype))
+            degrees = jnp.sum(nbr_w, axis=1)
     gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
                                   n_dropped=n_dropped)
 

@@ -59,3 +59,52 @@ def test_embed_texts_falls_back_offline():
                       model_name="definitely/not-a-local-model")
     assert emb.shape == (2, 384)
     assert np.all(np.isfinite(emb))
+
+
+class TestAdapterCharacterization:
+    """Pin the validated capabilities/limits of embedding-space adaptation
+    (module docstring): the linear adapter denoises, and off-manifold
+    denoising is provably ranking-invariant for cosine retrieval."""
+
+    @pytest.fixture(scope="class")
+    def manifold(self):
+        rng = np.random.default_rng(0)
+        dim, r, n = 128, 40, 2000
+        M = rng.normal(size=(r, dim)).astype(np.float32) / np.sqrt(r)
+        lat = rng.normal(size=(n, r)).astype(np.float32)
+        corpus = (lat @ M) * 100.0
+        return rng, M, corpus
+
+    def test_linear_adapter_denoises(self, manifold):
+        from pyarrowspace_tpu.models.domain_adapter import DomainAdapter
+        rng, M, corpus = manifold
+        ad = DomainAdapter(epochs=800, alpha=1.0, hidden=64,
+                           learning_rate=1e-3, arch="linear").fit(corpus)
+        rec = ad.transform(corpus)
+        rel = np.linalg.norm(rec - corpus) / np.linalg.norm(corpus)
+        assert rel < 0.1, rel                 # reconstructs the manifold
+        noise = rng.normal(size=(200, corpus.shape[1])).astype(
+            np.float32) * 100
+        keep = np.linalg.norm(ad.transform(noise)) / np.linalg.norm(noise)
+        assert keep < 0.75, keep              # strips off-manifold energy
+
+    def test_manifold_projection_is_ranking_invariant(self, manifold):
+        """For P with P x_i = x_i: q^T P x_i = q^T x_i, so cosine order is
+        untouched — the oracle projection reproduces raw retrieval."""
+        rng, M, corpus = manifold
+        P = M.T @ np.linalg.inv(M @ M.T) @ M
+        queries = (corpus[:50]
+                   + 5.0 * np.linalg.norm(corpus[:50], axis=1,
+                                          keepdims=True)
+                   / np.sqrt(corpus.shape[1])
+                   * rng.normal(size=(50, corpus.shape[1]))
+                   .astype(np.float32))
+        xu = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+
+        def ranks(q):
+            qq = q / np.linalg.norm(q, axis=1, keepdims=True)
+            return np.argsort(-(qq @ xu.T), axis=1, kind="stable")[:, :10]
+
+        raw = ranks(queries)
+        proj = ranks(queries @ P)             # corpus unchanged: P xi = xi
+        np.testing.assert_array_equal(raw, proj)

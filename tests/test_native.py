@@ -78,3 +78,22 @@ def test_native_symmetrize_matches_device_op():
         np.testing.assert_array_equal(np.asarray(ref[0]), got[0])
         np.testing.assert_allclose(np.asarray(ref[1]), got[1], rtol=1e-12)
         assert int(ref[3]) == got[2], (seed, int(ref[3]), got[2])
+
+
+def test_host_symmetrize_build_path(monkeypatch):
+    """ARROWSPACE_SYMMETRIZE=host routes the build through the native
+    engine and yields an identical GraphLaplacian."""
+    from pyarrowspace_tpu.io.native import native_available
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    from pyarrowspace_tpu import ArrowSpaceBuilder
+    rng = np.random.default_rng(5)
+    items = rng.normal(size=(300, 24)) + 0.3
+    gp = {"eps": 0.9, "k": 6, "topk": 8, "p": 2.0, "sigma": 0.3}
+    a1, gl1 = ArrowSpaceBuilder.build(gp, items)
+    monkeypatch.setenv("ARROWSPACE_SYMMETRIZE", "host")
+    a2, gl2 = ArrowSpaceBuilder.build(gp, items)
+    np.testing.assert_array_equal(np.asarray(gl1.to_dense()),
+                                  np.asarray(gl2.to_dense()))
+    assert gl1.n_dropped_edges == gl2.n_dropped_edges
+    np.testing.assert_allclose(a1.lambdas(), a2.lambdas(), rtol=1e-12)
