@@ -222,15 +222,32 @@ class ArrowSpace:
         if emaps is None or self._assignments is None:
             return None
         buckets, tail = self._energy_routing()
-        return search_ops.energy_routed_topk_batch(
-            self._data, self._lambdas, self._e_raw, emaps.nodes,
-            emaps.node_lambda, emaps.node_dirichlet, emaps.node_centroid,
-            self._lap_f, self._tau_star, buckets, tail,
-            q, lam_q, e_q,
-            jnp.asarray(w_l, dtype=self._data.dtype),
-            jnp.asarray(w_d, dtype=self._data.dtype),
-            probe=min(emaps.candidate_m, int(buckets.shape[0])),
-            topk=k_eff)
+        probe = min(emaps.candidate_m, int(buckets.shape[0]))
+        # Candidate pool per query = probe * bucket_cap + tail; the scoring
+        # gather materializes [Qc, M, F], so chunk queries to keep it under
+        # ~512 MB (at 313k scale the pool alone is ~10^5 items/query).
+        m_pool = probe * int(buckets.shape[1]) + int(tail.shape[0])
+        budget = 512 * 1024 * 1024
+        qc = max(1, budget // max(1, m_pool * self.nfeatures * 4))
+        nq = q.shape[0]
+        if nq <= qc:
+            chunks = [(q, lam_q, e_q)]
+        else:
+            chunks = [(q[s:s + qc], lam_q[s:s + qc], e_q[s:s + qc])
+                      for s in range(0, nq, qc)]
+        outs = [search_ops.energy_routed_topk_batch(
+                    self._data, self._lambdas, self._e_raw, emaps.nodes,
+                    emaps.node_lambda, emaps.node_dirichlet,
+                    emaps.node_centroid, self._lap_f, self._tau_star,
+                    buckets, tail, qs, lams, es,
+                    jnp.asarray(w_l, dtype=self._data.dtype),
+                    jnp.asarray(w_d, dtype=self._data.dtype),
+                    probe=probe, topk=k_eff)
+                for qs, lams, es in chunks]
+        if len(outs) == 1:
+            return outs[0]
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0))
 
     # -- TPU-native extras ----------------------------------------------------
     def enable_ivf(self, n_clusters: Optional[int] = None,
