@@ -409,14 +409,81 @@ def _sharded_search_fused(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star, tau,
               jnp.asarray(tau))
 
 
-def _search_body(xl, ll, qb, lq, tau, topk):
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "tau_mix",
+                                             "n_real"))
+def _sharded_search_energy(lambdas_pad, e_pad, q, lap_f, w_f, tau_star,
+                           w_l, w_d, *, k, mesh, tau_mix, n_real):
+    """Sharded energy-only serving: shard-local bounded-energy scoring
+    (ops/search.energy_topk_batch semantics) + all_gather top-k merge."""
+
+    def body(ll, el, qb, lap, wf, ts, wl, wd):
+        e_q = rayleigh_batch(qb, lap, normalized=False)
+        g_q = dispersion_batch(qb, wf, e_q)
+        lam_q = synthesize(e_q, g_q, ts, tau_mix)
+        tss = jnp.maximum(ts, 1e-10)
+        e_qb = e_q / (e_q + tss)
+        e_lb = el / (el + tss)
+        n_loc = ll.shape[0]
+        my = jax.lax.axis_index(DATA_AXIS)
+        gid = my * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+        prox_l = 1.0 / (1.0 + jnp.abs(ll[None, :] - lam_q[:, None]))
+        prox_e = 1.0 / (1.0 + jnp.abs(e_lb[None, :] - e_qb[:, None]))
+        score = wl * prox_l + wd * prox_e
+        score = jnp.where(gid[None, :] < n_real, score, -jnp.inf)
+        vals, idx = jax.lax.top_k(score, k)
+        gidx = my * n_loc + idx.astype(jnp.int32)
+        all_vals = jax.lax.all_gather(vals, DATA_AXIS)
+        all_idx = jax.lax.all_gather(gidx, DATA_AXIS)
+        d = all_vals.shape[0]
+        mv = jnp.transpose(all_vals, (1, 0, 2)).reshape(qb.shape[0], d * k)
+        mi = jnp.transpose(all_idx, (1, 0, 2)).reshape(qb.shape[0], d * k)
+        fv, fpos = jax.lax.top_k(mv, k)
+        fi = jnp.take_along_axis(mi, fpos, axis=1)
+        return fi, fv
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(),
+                             P(), P(), P()),
+                   out_specs=(P(), P()), check_vma=False)
+    return fn(lambdas_pad, e_pad, q, lap_f, w_f, tau_star,
+              jnp.asarray(w_l), jnp.asarray(w_d))
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "mesh", "tau_mix",
+                                             "rayleigh_normalized"))
+def _sharded_search_hybrid(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star,
+                           tau, *, topk, mesh, tau_mix,
+                           rayleigh_normalized=False):
+    """Sharded hybrid serving (multiplicative gate,
+    ops/search.hybrid_topk_batch semantics) + all_gather merge."""
+
+    def body(xl, ll, qb, lap, wf, ts, tt):
+        e_un = rayleigh_batch(qb, lap, normalized=False)
+        e = (rayleigh_batch(qb, lap, normalized=True)
+             if rayleigh_normalized else e_un)
+        g = dispersion_batch(qb, wf, e_un)
+        lq = synthesize(e, g, ts, tau_mix)
+        return _search_body(xl, ll, qb, lq, tt, topk, gate=True)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(),
+                             P()),
+                   out_specs=(P(), P()), check_vma=False)
+    return fn(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star,
+              jnp.asarray(tau))
+
+
+def _search_body(xl, ll, qb, lq, tau, topk, gate=False):
     n_loc = xl.shape[0]
     my = jax.lax.axis_index(DATA_AXIS)
     qn = unit_normalize(qb, axis=-1)
     cos = jax.lax.dot_general(qn, xl, (((1,), (1,)), ((), ())),
                               preferred_element_type=xl.dtype)  # [Q, L]
     prox = 1.0 / (1.0 + jnp.abs(ll[None, :] - lq[:, None]))
-    score = tau * cos + (1.0 - tau) * prox
+    if gate:     # hybrid: cosine modulated by spectral proximity
+        score = cos * (tau + (1.0 - tau) * prox)
+    else:
+        score = tau * cos + (1.0 - tau) * prox
     vals, idx = jax.lax.top_k(score, topk)
     gidx = my * n_loc + idx.astype(jnp.int32)
     all_vals = jax.lax.all_gather(vals, DATA_AXIS)   # [d, Q, topk]
@@ -540,6 +607,36 @@ class ShardedArrowSpace:
             self._tau_star, jnp.asarray(tau, dtype=q.dtype), topk=topk,
             mesh=self.mesh, tau_mix=self._tau_mix,
             rayleigh_normalized=self._rayleigh_normalized)
+        return np.asarray(idx), np.asarray(vals)
+
+    def search_hybrid_batch(self, queries, tau: float,
+                            topk: Optional[int] = None):
+        """Sharded hybrid (multiplicative-gate) serving — identical
+        results to ArrowSpace.search_hybrid_batch."""
+        q = jnp.asarray(queries, dtype=self._stored_pad.dtype)
+        topk = self._params.topk if topk is None else int(topk)
+        topk = min(topk, self._n_real)
+        idx, vals = _sharded_search_hybrid(
+            self._xu_pad, self._lambdas_pad, q, self._lap_f, self._w_f,
+            self._tau_star, jnp.asarray(tau, dtype=q.dtype), topk=topk,
+            mesh=self.mesh, tau_mix=self._tau_mix,
+            rayleigh_normalized=self._rayleigh_normalized)
+        return np.asarray(idx), np.asarray(vals)
+
+    def search_energy_batch(self, queries, k: int,
+                            w_lambda: Optional[float] = None,
+                            w_dirichlet: Optional[float] = None):
+        """Sharded energy-only serving (bounded-energy exact scan) —
+        identical results to ArrowSpace.search_energy_batch on a
+        standard-built space."""
+        q = jnp.asarray(queries, dtype=self._stored_pad.dtype)
+        w_l = 1.0 if w_lambda is None else float(w_lambda)
+        w_d = 0.5 if w_dirichlet is None else float(w_dirichlet)
+        k_eff = min(int(k), self._n_real)
+        idx, vals = _sharded_search_energy(
+            self._lambdas_pad, self._e_pad, q, self._lap_f, self._w_f,
+            self._tau_star, w_l, w_d, k=k_eff, mesh=self.mesh,
+            tau_mix=self._tau_mix, n_real=self._n_real)
         return np.asarray(idx), np.asarray(vals)
 
 

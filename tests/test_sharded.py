@@ -300,3 +300,34 @@ class TestShardedSymmetrize:
         np.testing.assert_array_equal(np.asarray(ref[1]),
                                       np.asarray(got[1]))
         assert int(ref[3]) == int(got[3])
+
+
+def test_sharded_hybrid_and_energy_parity():
+    """Sharded hybrid and energy serving match the single-chip batch
+    paths exactly (standard-built space: energy uses the exact
+    bounded-energy scan on both sides)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from pyarrowspace_tpu import ArrowSpaceBuilder
+    from pyarrowspace_tpu.core.params import parse_graph_params
+    from pyarrowspace_tpu.parallel.mesh import make_mesh
+    from pyarrowspace_tpu.parallel.sharded import build_sharded
+    rng = np.random.default_rng(9)
+    corpus = (rng.normal(size=(600, 48)) + 0.3) * 10
+    gp_dict = {"eps": 0.9, "k": 6, "topk": 9, "p": 2.0, "sigma": 0.3}
+    aspace, gl = ArrowSpaceBuilder.build(gp_dict, corpus)
+    gp = parse_graph_params(gp_dict)
+    gp = dataclasses.replace(gp, dims_reduction=True, reduction_eps=gp.eps,
+                             seed=42, sparsity_check=False)
+    sspace, _ = build_sharded(corpus, gp, make_mesh(8))
+    queries = corpus[rng.choice(600, 7, replace=False)] * 1.01
+
+    hi, hv = aspace.search_hybrid_batch(queries, gl, 0.8)
+    shi, shv = sspace.search_hybrid_batch(queries, 0.8)
+    np.testing.assert_array_equal(hi, shi)
+    np.testing.assert_allclose(hv, shv, rtol=1e-12)
+
+    ei, ev = aspace.search_energy_batch(queries, gl, 8)
+    sei, sev = sspace.search_energy_batch(queries, 8)
+    np.testing.assert_array_equal(ei, sei)
+    np.testing.assert_allclose(ev, sev, rtol=1e-12)
