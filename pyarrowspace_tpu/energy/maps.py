@@ -170,6 +170,10 @@ def build_energy_maps(items, ep: EnergyParams, gp: GraphParams
         k0 = max(2, min(k0, n))
         red = reduce_corpus(stored, seed=gp.seed, k_clusters=k0)
         centroids, assignments = red.centroids, red.assignments
+        # reduce_corpus samples before clustering and clamps K to the
+        # sample size; the pipeline must use the ACTUAL centroid count
+        # (tiny corpora: n=3, keep 0.6 -> 2 centroids from k0=3).
+        k0 = int(centroids.shape[0])
     msg = f"energy: compressed {n} items -> {k0} optical tokens"
     dbg_println(msg)
     log.debug(msg)

@@ -70,3 +70,15 @@ def test_energy_defaults_without_params(corpus):
     aspace, gle = ArrowSpaceBuilder.build_energy(corpus[:200])
     assert aspace.nitems == 200
     assert gle.nnodes >= 2
+
+
+def test_energy_build_tiny_corpus():
+    """README quickstart shape: build_energy on a 3-item corpus (the
+    sampler clamps K below optical_tokens; the pipeline must follow the
+    actual centroid count)."""
+    items = np.array([[0.1, 0.2, 0.3], [0.0, 0.5, 0.1], [0.9, 0.1, 0.0]])
+    aspace, gle = ArrowSpaceBuilder.build_energy(
+        items, {"optical_tokens": 40, "eta": 0.05, "steps": 4},
+        {"eps": 1.0, "k": 6, "topk": 3, "p": 2.0, "sigma": 1.0})
+    hits = aspace.search_energy(np.array([0.05, 0.2, 0.25]), gle, k=20)
+    assert len(hits) == 3
