@@ -320,10 +320,14 @@ class ArrowSpace:
         The high-QPS serving path (BASELINE.json north-star).
 
         mode "exact" (default) scans the full corpus in one fused dispatch;
-        "int8" runs the quantized candidate scan (int8 MXU rate) with an
-        exact f32 rescore of a 4x-topk pool — served results match the
-        exact scan whenever the true top-k survives the pool (measured
-        top-10 overlap >= 0.99 at 1M x 768, bench.py BENCH_QPS);
+        "int8" runs the quantized candidate scan with an exact f32 rescore
+        of a 4x-topk pool — served results match the exact scan whenever
+        the true top-k survives the pool (measured top-10 overlap >= 0.99
+        at 1M x 768).  Its QPS advantage depends on the chip's int8 MXU
+        rate: on v5e, Mosaic int8 dot_general measures NO faster than f32
+        and the wider candidate merge makes this mode ~25% slower than
+        exact — prefer it only on int8-rich parts (v5p/v6e) or
+        bandwidth-bound deployments (the int8 corpus is 4x smaller);
         "ivf" routes through the n_probe nearest clusters per query
         (gather-based, best up to ~10^5 items); "ivf_block" uses the
         cluster-contiguous Pallas slab kernel (block-shared probes,
