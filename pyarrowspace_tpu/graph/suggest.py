@@ -65,10 +65,16 @@ def suggest_graph_params(items, sample: int = 4096, seed: int = 42) -> dict:
     eps_rec = float(np.quantile(kth, 0.90))
     sigma_rec = eps_rec * SIGMA_EPS_RATIO
 
+    # topk ~ 0.6k mirrors the reference protocols' pairings (CVE and
+    # MS MARCO both use k=25/topk=15); p=2.0 is the documented default
+    # (GRAPH_VARIABLES.md).  The dict is directly buildable:
+    # ArrowSpaceBuilder.build(suggest_graph_params(x), x).
     rec = {
         "eps": round(eps_rec, 4),
         "sigma": round(sigma_rec, 4),
         "k": k_rec,
+        "topk": max(2, int(round(k_rec * 0.6))),
+        "p": 2.0,
         "intrinsic_dim": idim,
         "rates": {"eps": rate_eps, "sigma": rate_sigma, "k": rate_k},
         "n": n,
