@@ -333,6 +333,9 @@ class ArrowSpace:
         cluster-contiguous Pallas slab kernel (block-shared probes,
         large-corpus scale).  ivf modes are approximate; enable_ivf() is
         built on demand."""
+        if mode not in ("exact", "int8", "ivf", "ivf_block"):
+            raise ValueError(f"unknown search mode {mode!r}; expected "
+                             "'exact', 'int8', 'ivf', or 'ivf_block'")
         q = jnp.asarray(queries, dtype=self._data.dtype)
         if q.ndim != 2 or q.shape[1] != self.nfeatures:
             raise ValueError(

@@ -226,3 +226,9 @@ def test_search_batch_int8_mode(built):
     overlap = np.mean([len(set(ei[r]) & set(qi[r])) / ei.shape[1]
                        for r in range(8)])
     assert overlap >= 0.99, overlap
+
+
+def test_search_batch_rejects_unknown_mode(built):
+    aspace, gl, items = built
+    with pytest.raises(ValueError, match="unknown search mode"):
+        aspace.search_batch(items[:1], gl, 0.62, mode="warp")
