@@ -57,7 +57,7 @@ def run_sweep(corpus, etas=ETAS, steps_list=STEPS, n_queries=N_QUERIES):
                 (aspace_e, gl_e), t_e = timed(
                     ArrowSpaceBuilder.build_energy, corpus, cfg,
                     GRAPH_PARAMS)
-                mrrs, maps, recs, ndcgs = [], [], [], []
+                mrrs, maps, recs, ndcgs, recs20 = [], [], [], [], []
                 for q, rel in zip(queries, relevant):
                     hits = [i for i, _ in aspace_e.search_energy(
                         q, gl_e, K_SEARCH, 1.0, 0.5)]
@@ -65,14 +65,20 @@ def run_sweep(corpus, etas=ETAS, steps_list=STEPS, n_queries=N_QUERIES):
                     maps.append(average_precision(hits, rel))
                     recs.append(recall_at_k(hits, rel, 10))
                     ndcgs.append(ndcg_at_k(hits, rel, 10))
+                    recs20.append(recall_at_k(hits, rel, 20))
+                # Column names/order follow the reference artifact
+                # (tests/output/1761234699_v0_18_energymaps_8_sweep/
+                # diffusion_sweep_results.csv) so runs diff directly;
+                # status/graph_nodes are appended extras.
                 rows.append({
-                    "eta": eta, "steps": steps, "status": "OK",
-                    "build_time_s": round(t_e, 2),
-                    "graph_nodes": gl_e.nnodes,
-                    "mrr": round(float(np.mean(mrrs)), 4),
-                    "map": round(float(np.mean(maps)), 4),
-                    "recall@10": round(float(np.mean(recs)), 4),
-                    "ndcg@10": round(float(np.mean(ndcgs)), 4),
+                    "eta": eta, "steps": steps,
+                    "build_time": round(t_e, 2),
+                    "avg_mrr": round(float(np.mean(mrrs)), 4),
+                    "avg_map": round(float(np.mean(maps)), 4),
+                    "avg_ndcg": round(float(np.mean(ndcgs)), 4),
+                    "avg_recall@10": round(float(np.mean(recs)), 4),
+                    "avg_recall@20": round(float(np.mean(recs20)), 4),
+                    "status": "OK", "graph_nodes": gl_e.nnodes,
                 })
             except Exception as e:   # isolation (reference test_8:293-295)
                 rows.append({"eta": eta, "steps": steps, "status": "FAILED",
@@ -95,7 +101,7 @@ def _plot_heatmap(rows, d):
     steps = sorted({r["steps"] for r in ok})
     grid = np.full((len(etas), len(steps)), np.nan)
     for r in ok:
-        grid[etas.index(r["eta"]), steps.index(r["steps"])] = r["mrr"]
+        grid[etas.index(r["eta"]), steps.index(r["steps"])] = r["avg_mrr"]
     fig, ax = plt.subplots(figsize=(6, 4))
     im = ax.imshow(grid, aspect="auto", cmap="viridis", vmin=0, vmax=1)
     ax.set_xticks(range(len(steps)), [f"steps={s}" for s in steps])
@@ -124,7 +130,7 @@ def main():
     save_csv(d / "diffusion_sweep_results.csv", rows)
     _plot_heatmap(rows, d)
     ok = [r for r in rows if r["status"] == "OK"]
-    best = max(ok, key=lambda r: r["mrr"]) if ok else None
+    best = max(ok, key=lambda r: r["avg_mrr"]) if ok else None
     save_json(d / "summary.json",
               {"protocol": "energy_sweep (test_8 port)",
                "standard_build_s": t_std, "best": best})

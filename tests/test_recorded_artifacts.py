@@ -45,7 +45,7 @@ def test_energy_sweep_artifact_shape():
     rows = list(csv.DictReader(
         _latest("energy_sweep", "diffusion_sweep_results.csv").open()))
     ok = [r for r in rows if r["status"] == "OK"]
-    by_cfg = {(float(r["eta"]), int(r["steps"])): float(r["mrr"])
+    by_cfg = {(float(r["eta"]), int(r["steps"])): float(r["avg_mrr"])
               for r in ok}
     # Best region at low eta (reference: MRR 1.0 at eta=0.05).
     assert max(by_cfg[(0.05, s)] for s in (4, 6, 8)) >= 0.9, by_cfg
