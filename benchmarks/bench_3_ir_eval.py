@@ -49,7 +49,7 @@ def load_protocol_data(seed_q: int = 3):
     corpus, _, _, _ = heteroscedastic_clusters(
         n_groups=120, per_group=40, dim=768)
     queries, relevant = ambiguous_single_relevant_queries(
-        corpus, N_EVAL_QUERIES, seed=seed_q, distractor_weight=(0.45, 1.0))
+        corpus, N_EVAL_QUERIES, seed=seed_q, distractor_weight=(0.40, 0.85))
     return corpus, queries, relevant, "synthetic-heteroscedastic"
 
 

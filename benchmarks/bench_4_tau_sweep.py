@@ -44,7 +44,7 @@ def main():
         corpus, _, _, _ = heteroscedastic_clusters(
             n_groups=120, per_group=40, dim=768)
         queries, relevant = ambiguous_single_relevant_queries(
-            corpus, N_EVAL_QUERIES, seed=3, distractor_weight=(0.45, 1.0))
+            corpus, N_EVAL_QUERIES, seed=3, distractor_weight=(0.40, 0.85))
         dataset = "synthetic-heteroscedastic"
     (aspace, gl), t_build = timed(ArrowSpaceBuilder.build, GRAPH_PARAMS,
                                   corpus)
