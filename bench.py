@@ -62,6 +62,7 @@ def main():
     # dominate the metric with pure wire noise.  The staging time is
     # reported alongside; BENCH_HOST_ITEMS=1 times the host-sourced
     # build instead (ingest included, ops/ingest.py chunked streaming).
+    staging_s = None
     if os.environ.get("BENCH_HOST_ITEMS", "0") == "1":
         items = items_host
     else:
@@ -70,7 +71,8 @@ def main():
         from pyarrowspace_tpu.ops.ingest import ingest_corpus
         items = ingest_corpus(items_host, np.dtype(np.float32))
         items.block_until_ready()
-        print(f"# corpus staged to device: {time.perf_counter() - t0:.2f}s "
+        staging_s = round(time.perf_counter() - t0, 3)
+        print(f"# corpus staged to device: {staging_s:.2f}s "
               f"(tunnel transfer, excluded from the timed build; "
               f"BENCH_HOST_ITEMS=1 to include)", file=sys.stderr)
 
@@ -158,11 +160,17 @@ def main():
               f"(top-{k_ov} overlap vs exact f32: {overlap:.4f})",
               file=sys.stderr)
 
+    # Timing convention recorded IN the artifact (ADVICE r2): the timed
+    # region starts from device-resident rows unless BENCH_HOST_ITEMS=1;
+    # staging_s is the excluded host->HBM transfer (null when included).
     print(json.dumps({
         "metric": "index_build_313k_s",
         "value": round(t_build, 3),
         "unit": "s",
         "vs_baseline": round(REFERENCE_BUILD_S / t_build, 2),
+        "convention": ("host_items" if staging_s is None
+                       else "device_resident"),
+        "staging_excluded_s": staging_s,
     }))
 
 

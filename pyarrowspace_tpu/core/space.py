@@ -175,7 +175,12 @@ class ArrowSpace:
         routed = self._search_energy_routed(q, lam_q, e_q, w_l, w_d, k_eff)
         if routed is not None:
             idx_r, vals_r = routed
-            if np.all(np.asarray(idx_r[0, :k_eff]) >= 0):
+            # Width check first: the routed pool can be narrower than k_eff
+            # (min(topk, pool) results), in which case the [:k_eff] slice
+            # silently no-ops and the >=0 check alone would accept a short
+            # result (ADVICE r2).
+            if idx_r.shape[1] >= k_eff and np.all(
+                    np.asarray(idx_r[0, :k_eff]) >= 0):
                 return [(int(i), float(s))
                         for i, s in zip(np.asarray(idx_r[0]),
                                         np.asarray(vals_r[0]))]
@@ -222,7 +227,9 @@ class ArrowSpace:
         if emaps is None or self._assignments is None:
             return None
         buckets, tail = self._energy_routing()
-        probe = min(emaps.candidate_m, int(buckets.shape[0]))
+        # candidate_m counts NODES (reference pool semantics); dedup to
+        # centroids happens inside energy_routed_topk_batch.
+        probe = min(emaps.candidate_m, int(emaps.nodes.shape[0]))
         # Candidate pool per query = probe * bucket_cap + tail; the scoring
         # gather materializes [Qc, M, F], so chunk queries to keep it under
         # ~512 MB (at 313k scale the pool alone is ~10^5 items/query).
@@ -302,8 +309,8 @@ class ArrowSpace:
         lam_q = synthesize(e_q, g_q, self._tau_star, self._tau_mix)
         k_eff = min(int(k), self.nitems)
         routed = self._search_energy_routed(q, lam_q, e_q, w_l, w_d, k_eff)
-        if routed is not None and np.all(
-                np.asarray(routed[0][:, :k_eff]) >= 0):
+        if (routed is not None and routed[0].shape[1] >= k_eff
+                and np.all(np.asarray(routed[0][:, :k_eff]) >= 0)):
             return np.asarray(routed[0]), np.asarray(routed[1])
         e_qb = search_ops.bounded_energy(e_q, self._tau_star)
         idx, vals = search_ops.energy_topk_batch(

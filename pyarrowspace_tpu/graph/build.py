@@ -187,9 +187,10 @@ def _build_standard_inner(items, gp: GraphParams,
         predict_oom = (mode == "host"
                        or (mode == "auto" and n * gp.k > 20_000_000
                            and f >= 512))
+        _SYNTHETIC_OOM = "predicted symmetrize OOM"
         try:
             if predict_oom:
-                raise MemoryError("predicted symmetrize OOM "
+                raise MemoryError(f"{_SYNTHETIC_OOM} "
                                   f"(n*k={n * gp.k}, f={f})")
             nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(
                 i, w, ell_width)
@@ -210,11 +211,25 @@ def _build_standard_inner(items, gp: GraphParams,
             host = symmetrize_host(np.asarray(i), np.asarray(w, np.float64),
                                    ell_width)
             if host is None:
-                raise
-            h_idx, h_w, n_dropped = host
-            nbr_idx = jnp.asarray(h_idx)
-            nbr_w = jnp.asarray(h_w.astype(np.asarray(w).dtype))
-            degrees = jnp.sum(nbr_w, axis=1)
+                # Native engine unavailable (no compiler / build failure).
+                # If the trigger was only the PREDICTIVE cut (a heuristic
+                # sized for 16 GB chips), attempt the device op after all
+                # rather than failing a build that might fit (ADVICE r2);
+                # a real device OOM (or explicit =host) still raises.
+                if _SYNTHETIC_OOM in str(e) and mode != "host":
+                    log.warning("native engine unavailable; attempting the "
+                                "device symmetrize despite the predicted "
+                                "OOM")
+                    nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(
+                        i, w, ell_width)
+                    n_dropped = int(n_dropped)
+                else:
+                    raise
+            else:
+                h_idx, h_w, n_dropped = host
+                nbr_idx = jnp.asarray(h_idx)
+                nbr_w = jnp.asarray(h_w.astype(np.asarray(w).dtype))
+                degrees = jnp.sum(nbr_w, axis=1)
     gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
                                   n_dropped=n_dropped)
 

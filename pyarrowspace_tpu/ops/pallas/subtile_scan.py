@@ -146,8 +146,8 @@ def _subtile_pallas(xu_pad, lam_row, qn_pad, lamq_col, tau, *, q_block,
 def subtile_search(xu_scan: jnp.ndarray, xq: jnp.ndarray,
                    scales: jnp.ndarray, xu_f32: jnp.ndarray,
                    lambdas: jnp.ndarray, qn: jnp.ndarray,
-                   lam_q: jnp.ndarray, tau, *, topk: int,
-                   n_subtiles_keep: int = 16, pool_m: int = 64,
+                   lam_q: jnp.ndarray, tau, n_real: jnp.ndarray, *,
+                   topk: int, n_subtiles_keep: int = 16, pool_m: int = 64,
                    interpret: bool | None = None):
     """Full subtile-routed serving step (phases a+b+c).
 
@@ -157,9 +157,14 @@ def subtile_search(xu_scan: jnp.ndarray, xq: jnp.ndarray,
       xq, scales: int8 corpus + per-row scales (ops/quantize.quantize_rows)
         for the phase-b rescan, same padding.
       xu_f32: f32 corpus for the exact rescore, same padding.
-      lambdas: [N_pad] f32 (pad entries must be < any real lambda - 1, so
-        padded scores can't enter the pool; the caller pads with -1).
+      lambdas: [N_pad] f32 padded with any value (out-of-range candidates
+        are masked by n_real, so the pad value can't be served).
       qn [Q, F] unit queries, lam_q [Q].
+      n_real: number of real (un-padded) corpus rows; candidates >= n_real
+        are masked to -inf in phases b and c.  (Lambda padding alone is NOT
+        enough: a padded score (1-tau)/(1+|lam_pad-lam_q|) ~ 0.1 beats real
+        blended scores whenever tau*cos goes negative for anti-aligned
+        queries — ADVICE r2.)
     Returns (idx [Q, topk] int32, scores [Q, topk] f32) — f32-exact
     whenever the true top-k survives the int8 pool (monitor via bench
     overlap; the subtile selection itself is exact by the block-max
@@ -191,7 +196,12 @@ def subtile_search(xu_scan: jnp.ndarray, xq: jnp.ndarray,
     # [qc, S*64, F] bytes per chunk instead of the full batch (a 4096 x
     # 1024 x 768 one-shot gather OOMs a 16 GB HBM next to the corpus).
     s_keep = min(n_subtiles_keep, n_pad // SUBTILE)
-    _, sub_sel = jax.lax.top_k(sub_max[:q], s_keep)     # [Q, S]
+    n_real = jnp.asarray(n_real, dtype=jnp.int32)
+    # Fully-padded subtiles can't route; partially-padded ones are handled
+    # by the per-candidate masks below.
+    sub_start = jnp.arange(n_pad // SUBTILE, dtype=jnp.int32) * SUBTILE
+    sub_max = jnp.where(sub_start[None, :] < n_real, sub_max[:q], _NEG_INF)
+    _, sub_sel = jax.lax.top_k(sub_max, s_keep)         # [Q, S]
     qL8, q_scale = _quantize_queries(qn)
     tau32 = jnp.asarray(tau, dtype=jnp.float32)
     m_pool = min(pool_m, s_keep * SUBTILE)
@@ -215,6 +225,7 @@ def subtile_search(xu_scan: jnp.ndarray, xq: jnp.ndarray,
         cos8 = (acc.astype(jnp.float32) * qs_c[:, None] * scales[cand])
         prox = 1.0 / (1.0 + jnp.abs(lambdas[cand] - lamq_c[:, None]))
         score8 = tau32 * cos8 + (1.0 - tau32) * prox
+        score8 = jnp.where(cand < n_real, score8, _NEG_INF)
         _, pos = jax.lax.top_k(score8, m_pool)
         pool_idx = jnp.take_along_axis(cand, pos, axis=1)
         # Phase c: exact f32 rescore of the pool.
@@ -224,6 +235,7 @@ def subtile_search(xu_scan: jnp.ndarray, xq: jnp.ndarray,
         proxp = 1.0 / (1.0 + jnp.abs(lambdas[pool_idx]
                                      - lamq_c[:, None]))
         s = tau32 * cos + (1.0 - tau32) * proxp
+        s = jnp.where(pool_idx < n_real, s, _NEG_INF)
         vals, posk = jax.lax.top_k(s, k_out)
         return jnp.take_along_axis(pool_idx, posk, axis=1), vals
 
@@ -252,8 +264,9 @@ def build_subtile_state(xu: jnp.ndarray, lambdas: jnp.ndarray,
     """Pad + precompute the serving layout for subtile_search.
 
     Pads N to an 8192 multiple (col_tile 1024 x 8 tiles per 128-lane
-    output block); padded lambdas are -2 so padded subtile maxes can
-    never reach a real pool (real scores >= -1 - 1)."""
+    output block).  Pass n_real through to subtile_search — index-range
+    masking there is what keeps padded rows out of served results (the
+    lambda pad value is only a routing hint)."""
     n, f = xu.shape
     n_pad = ((n + 8191) // 8192) * 8192
     xu32 = jnp.pad(xu.astype(jnp.float32), ((0, n_pad - n), (0, 0)))

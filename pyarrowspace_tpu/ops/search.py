@@ -230,13 +230,21 @@ def energy_routed_topk_batch(x: jnp.ndarray, lambdas: jnp.ndarray,
     over-diffused/diverged one degenerates (the reference's recorded
     sweep shape).
 
-    Routing: D(q, node) + lambda node distances reduce to per-CENTROID
-    minima (segment_min over each centroid's split nodes — dedup by
-    construction); the best `probe` centroids' bucket members plus the
-    shared overflow tail are then scored at ITEM level:
+    Routing preserves the reference's pool semantics (ADVICE r2): the
+    best `probe` (= candidate_m) NODES per query are selected, then
+    deduplicated to their centroids (~candidate_m/3 unique cells after
+    dedup — split nodes share a centroid), and those cells' bucket
+    members plus the shared overflow tail are scored at ITEM level:
 
         score(q, a) = w_l / (1 + |lambda_a - lambda_q|)
                     + w_d / (1 + D'(q, x_a))
+
+    The routed item score (residual-Dirichlet D') intentionally differs
+    from the exact fallback's |E'_a - E'_q| proximity (ops.energy_topk):
+    the fallback is the reference-documented formula on the full corpus;
+    the routed path rides the diffused map's geometry.  Callers fall back
+    only when the routed pool is narrower than k (core/space.py), so the
+    discontinuity is confined to under-filled pools.
 
     Returns (idx [Q, topk] — -1 where a query had fewer valid candidates,
     vals).
@@ -251,13 +259,16 @@ def energy_routed_topk_batch(x: jnp.ndarray, lambdas: jnp.ndarray,
     d_qn_b = d_qn / (d_qn + ts)
     d_nodes = (w_l * jnp.abs(node_lambda[None, :] - lam_q[:, None])
                + w_d * d_qn_b)                                 # [Q, M]
-    k_cent = buckets.shape[0]
-    d_cent = jax.vmap(
-        lambda dn: jax.ops.segment_min(dn, node_centroid,
-                                       num_segments=k_cent))(d_nodes)
-    _, probe_sel = jax.lax.top_k(-d_cent, min(probe, k_cent))  # [Q, P]
-
-    cand = buckets[probe_sel].reshape(nq, -1)                # [Q, P*C]
+    m_nodes = min(probe, d_nodes.shape[1])
+    _, node_sel = jax.lax.top_k(-d_nodes, m_nodes)             # [Q, P]
+    cent_sel = node_centroid[node_sel]                         # [Q, P]
+    # First-occurrence dedup (P is small — O(P^2) mask, no sort): later
+    # occurrences of an already-probed centroid contribute no candidates.
+    dup = jnp.any((cent_sel[:, :, None] == cent_sel[:, None, :])
+                  & jnp.tri(m_nodes, m_nodes, -1,
+                            dtype=bool)[None, :, :], axis=2)   # [Q, P]
+    cand = jnp.where(dup[:, :, None], -1, buckets[cent_sel])
+    cand = cand.reshape(nq, -1)                              # [Q, P*C]
     tailb = jnp.broadcast_to(tail[None, :], (nq, tail.shape[0]))
     cand = jnp.concatenate([cand, tailb], axis=1)
     valid = cand >= 0

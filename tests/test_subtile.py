@@ -33,7 +33,7 @@ def test_subtile_matches_exact(state):
     tau = jnp.float32(0.62)
     idx_s, val_s = subtile_search(st["xu_scan"], st["xq"], st["scales"],
                                   st["xu_f32"], st["lambdas"],
-                                  qn, lam_q, tau, topk=10,
+                                  qn, lam_q, tau, st["n_real"], topk=10,
                                   n_subtiles_keep=16, pool_m=64)
     idx_e, val_e = lambda_aware_topk_batch(
         xu.astype(jnp.float32), lam, qn, lam_q, tau, 10)
@@ -53,4 +53,29 @@ def test_subtile_pad_guard(state):
     with pytest.raises(ValueError, match="padded"):
         subtile_search(xu.astype(jnp.float32), st["xq"], st["scales"],
                        st["xu_f32"], st["lambdas"], qn,
-                       jnp.zeros((4,), jnp.float32), 0.62, topk=5)
+                       jnp.zeros((4,), jnp.float32), 0.62, st["n_real"],
+                       topk=5)
+
+
+def test_subtile_never_serves_padding():
+    """ADVICE r2 regression: anti-aligned queries on a clustered corpus
+    make every real blended score negative (tau*cos < 0 dominates), while
+    a padded row's score would be ~(1-tau)/(1+|lam_pad-lam_q|) ~ 0.1 —
+    without index masking the pad rows win the top-k."""
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas.subtile_scan import (
+        build_subtile_state, subtile_search)
+    rng = np.random.default_rng(3)
+    n, f = 5000, 256
+    direction = rng.standard_normal(f).astype(np.float32)
+    xu = unit_normalize(jnp.asarray(
+        direction[None, :] + 0.05 * rng.standard_normal(
+            (n, f)).astype(np.float32)))
+    lam = jnp.asarray(rng.uniform(0.05, 0.3, n).astype(np.float32))
+    st = build_subtile_state(xu, lam, scan_dtype=jnp.float32)
+    qn = unit_normalize(jnp.asarray(-direction[None, :].repeat(8, 0)))
+    lam_q = jnp.full((8,), 0.1, jnp.float32)
+    idx, vals = subtile_search(st["xu_scan"], st["xq"], st["scales"],
+                               st["xu_f32"], st["lambdas"], qn, lam_q,
+                               jnp.float32(0.62), st["n_real"], topk=10)
+    assert int(np.asarray(idx).max()) < n, np.asarray(idx).max()
