@@ -24,7 +24,8 @@ import numpy as np
 from benchmarks.protocols import (ambiguous_single_relevant_queries,
                                   force_cpu_if_requested,
                                   heteroscedastic_clusters, load_beir_export,
-                                  out_dir, save_json, timed)
+                                  out_dir, save_json, spectral_margin_protocol,
+                                  timed)
 
 force_cpu_if_requested()
 
@@ -39,13 +40,29 @@ SCALING = 100.0   # reference test_3_beir.py:19 (x100, lambda collapses at x1)
 
 
 def load_protocol_data(seed_q: int = 3):
-    """(corpus, queries, relevant, dataset_name) — real export or synthetic."""
+    """(corpus, queries, relevant, dataset_name) — real export or synthetic.
+
+    ARROWSPACE_IR_REGIME selects the synthetic regime:
+      "degrade" (default) — ambiguous-distractor queries where tau < 1
+        trades recall for difficulty (the reference tau-SWEEP direction,
+        recall 0.91 -> 0.89 -> 0.86);
+      "margin" — planted hard negatives where tau=0.62 IMPROVES MRR/nDCG
+        with recall tied (the reference FLAGSHIP direction, MRR +2.37%).
+    Both regimes exist in the reference's recorded data (BASELINE.md).
+    """
+    import os
     real = load_beir_export("msmarco")
     if real is not None:
         corpus, queries, relevant = real
         # The reference scales embeddings x100 before build (test_3:190).
         return (corpus * SCALING, queries * SCALING, relevant,
                 "MS MARCO (BeIR)")
+    if os.environ.get("ARROWSPACE_IR_REGIME", "degrade") == "margin":
+        corpus, queries, relevant, n_hn = spectral_margin_protocol(
+            n_groups=120, per_group=40, dim=768,
+            n_queries=N_EVAL_QUERIES, seed=seed_q)
+        return (corpus, queries, relevant,
+                f"synthetic-spectral-margin(hn={n_hn})")
     corpus, _, _, _ = heteroscedastic_clusters(
         n_groups=120, per_group=40, dim=768)
     queries, relevant = ambiguous_single_relevant_queries(

@@ -119,6 +119,97 @@ def ambiguous_single_relevant_queries(corpus: np.ndarray, n_queries: int,
     return queries, relevant
 
 
+def spectral_margin_protocol(n_groups=24, per_group=40, dim=256,
+                             n_queries=60, seed=11, hn_frac=0.15,
+                             cos_margin=(0.004, 0.07), jitter=0.05,
+                             sib_weight=(0.35, 0.8), cross_frac=0.2,
+                             cross_weight=(1.05, 1.7),
+                             noise=0.15, scaling=100.0,
+                             scale_range=(0.6, 1.8), min_scale_ratio=1.25):
+    """The lambda-HELPS regime (reference flagship direction): a corpus
+    where tau=0.62 IMPROVES MRR/nDCG over cosine with recall@10 tied —
+    the reference's recorded MS MARCO result (MRR +2.37%, nDCG +1.78%,
+    recall tied 0.91, tests/output/1761063134_v0_17_beir-msmarco/
+    beir_evaluation_results.json).  Three planted mechanisms:
+
+    - heteroscedastic clusters: per-cluster norms drive lambda apart
+      (cosine-invisible), so lambda identifies the query's home cluster;
+    - HARD NEGATIVES: for hn_frac of queries, a corpus item in a
+      different-NORM cluster is replanted to beat the relevant item by a
+      small cosine margin.  Cosine ranks it first; the (1-tau) lambda
+      term demotes it (its norm-driven lambda is off-cluster) — MRR and
+      nDCG improve while both items stay in the top-10 (recall tied);
+    - sibling mixing + an irrecoverable cross-cluster fraction set the
+      difficulty band (hurt cosine and lambda-aware equally).
+
+    Queries are rescaled to their cluster's MEAN norm so lambda_q tracks
+    the cluster, not the item (an exact-item norm match would leak the
+    answer through the lambda channel).
+
+    Returns (corpus f64, queries f64, relevant single-item sets,
+    n_planted).
+    """
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_groups, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    scales = np.exp(rng.uniform(np.log(scale_range[0]),
+                                np.log(scale_range[1]), n_groups))
+    pts = base[:, None, :] + (noise / np.sqrt(dim)) * rng.normal(
+        size=(n_groups, per_group, dim))
+    corpus = (pts * scales[:, None, None]).reshape(-1, dim) * scaling
+
+    n = n_groups * per_group
+    src = rng.choice(n, size=n_queries, replace=False)
+    sib = np.array([g0 * per_group + (i - g0 * per_group
+                    + rng.integers(1, per_group)) % per_group
+                    for i, g0 in zip(src, src // per_group)])
+    bw = rng.uniform(*sib_weight, size=(n_queries, 1))
+    queries = corpus[src] + bw * corpus[sib]
+    n_cross = int(round(cross_frac * n_queries))
+    cross_rows = rng.permutation(n_queries)[:n_cross]
+    dsrc = rng.choice(n, size=n_queries, replace=False)
+    cw = rng.uniform(*cross_weight, size=(n_queries, 1))
+    queries[cross_rows] += cw[cross_rows] * corpus[dsrc[cross_rows]]
+    queries += (jitter * np.linalg.norm(queries, axis=1, keepdims=True)
+                / np.sqrt(dim) * rng.normal(size=(n_queries, dim)))
+    cl_norm = scales[src // per_group] * scaling * (1 + noise ** 2) ** 0.5
+    queries *= (cl_norm[:, None]
+                / np.linalg.norm(queries, axis=1, keepdims=True))
+    relevant = [{int(i)} for i in src]
+
+    n_hn = int(round(hn_frac * n_queries))
+    hn_rows = [r for r in rng.permutation(n_queries)[:n_hn]
+               if r not in set(cross_rows)]
+    used = set(int(i) for i in src) | set(int(s) for s in sib)
+    n_planted = 0
+    for k in hn_rows:
+        i = src[k]
+        g = i // per_group
+        ratios = np.maximum(scales / scales[g], scales[g] / scales)
+        cands = [h for h in np.argsort(-ratios) if h != g
+                 and ratios[h] >= min_scale_ratio]
+        if not cands:
+            continue
+        h = int(cands[int(rng.integers(0, min(6, len(cands))))])
+        victim = next((j for j in range(h * per_group, (h + 1) * per_group)
+                       if j not in used), None)
+        if victim is None:
+            continue
+        used.add(victim)
+        q = queries[k]
+        u = q / np.linalg.norm(q)
+        c0 = float(corpus[i] @ u / np.linalg.norm(corpus[i]))
+        c = min(c0 + rng.uniform(*cos_margin), 0.9995)
+        w = rng.normal(size=dim)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        corpus[victim] = ((c * u + np.sqrt(max(1 - c * c, 0.0)) * w)
+                          * scales[h] * scaling * (1 + noise ** 2) ** 0.5)
+        n_planted += 1
+    return (corpus.astype(np.float64), queries.astype(np.float64),
+            relevant, n_planted)
+
+
 def load_beir_export(name: str = "msmarco"):
     """Load real pre-exported embeddings + qrels from ARROWSPACE_DATA_DIR.
 

@@ -58,6 +58,21 @@ def test_energy_sweep_artifact_shape():
     assert mean[0.05] > mean[0.25], mean
 
 
+def test_ir_eval_margin_artifact_lambda_improves():
+    """The recorded lambda-HELPS artifact (ARROWSPACE_IR_REGIME=margin)
+    must carry the reference's flagship direction: MRR/nDCG improvements
+    POSITIVE at tau=0.62 with recall@10 tied (reference recorded
+    +2.37% MRR / +1.78% nDCG / recall 0.91==0.91,
+    tests/output/1761063134_v0_17_beir-msmarco)."""
+    data = json.loads(_latest("ir_eval_margin",
+                              "beir_evaluation_results.json").read_text())
+    imp = data["metrics"]["improvements"]
+    assert imp["mrr_pct"] > 0, imp
+    assert imp["ndcg@10_pct"] > 0, imp
+    assert abs(imp["recall@10_pct"]) < 1e-9, imp
+    assert data["tau"] == 0.62
+
+
 def test_ir_eval_artifact_schema():
     data = json.loads(_latest("ir_eval",
                               "beir_evaluation_results.json").read_text())
