@@ -25,17 +25,42 @@ GRAPH_PARAMS = {"eps": 1.31, "k": 25, "topk": 15, "p": 2.0, "sigma": 0.535}
 N_QUERIES = 3              # reference uses 3 CVE queries
 
 
-def main():
+def load_corpus():
+    """Input resolution order (mirrors the reference's raw-text stage):
+    1. ARROWSPACE_CVE_DIR — a CVE JSON tree, iterated + text-extracted +
+       embedded (sentence-transformers when available, hash_embed
+       otherwise) with the reference's x12 scaling
+       (tests/test_2_CVE_db.py:71-154);
+    2. ARROWSPACE_DATA_DIR/cve.npy — pre-exported embeddings;
+    3. synthetic duplicate clusters (zero-egress default)."""
+    import os
+    cve_dir = os.environ.get("ARROWSPACE_CVE_DIR")
+    if cve_dir:
+        from pyarrowspace_tpu.data import load_cve_corpus
+        from pyarrowspace_tpu.models import embed_texts
+        ids, titles, texts = load_cve_corpus(cve_dir)
+        print(f"CVE tree: {len(ids)} records from {cve_dir}")
+        emb = embed_texts(texts, dim_fallback=384)
+        return np.asarray(emb, dtype=np.float64) * 12.0
     emb = try_load_real_embeddings("cve")
     if emb is not None:
-        corpus = emb * 12.0
-    else:
-        corpus, _ = synthetic_duplicates(
-            n_groups=120, per_group=30, dim=384, noise=0.25, scaling=12.0)
+        return emb * 12.0
+    corpus, _ = synthetic_duplicates(
+        n_groups=120, per_group=30, dim=384, noise=0.25, scaling=12.0)
+    return corpus
+
+
+def main():
+    corpus = load_corpus()
     print(f"corpus: {corpus.shape}")
 
-    (aspace, gl), t_build = timed(ArrowSpaceBuilder.build, GRAPH_PARAMS,
-                                  corpus)
+    # Tiny fixture trees (the checked-in tests/fixtures/cve) can't sustain
+    # the protocol's k=25; clamp graph degrees, keep everything else.
+    n = corpus.shape[0]
+    gp = dict(GRAPH_PARAMS)
+    gp["k"] = min(gp["k"], max(1, n - 2))
+    gp["topk"] = min(gp["topk"], n)
+    (aspace, gl), t_build = timed(ArrowSpaceBuilder.build, gp, corpus)
     print(f"Build time: {t_build:.2f}s  nnodes={gl.nnodes}")
 
     rng = np.random.default_rng(2)
