@@ -43,20 +43,26 @@ def laplacian_from_sq_dists(d2: jnp.ndarray, *, k_f: int,
     construction (module docstring), used whenever the signals are the
     raw stored items (small corpora, reduction off).
 
-    sigma_scale (a traced scalar) -> Gaussian-kernel adjacency
-    w = exp(-d^2 / (2 sigma^2)) with sigma = sigma_scale * median kept
-    k-NN distance.  Used on the reduction path (centroid signals): the
-    builder passes sigma_scale = eps/10, threading the
-    dims-reduction tolerance into the feature graph CONTINUOUSLY.  Two
-    deliberate properties: (a) a binary graph over well-separated
-    centroid columns is bit-stable under small eps/K perturbations,
-    which made recorded eps sweeps flat, while the reference's recorded
-    sweeps move at every eps step
-    (tests/output/1761065864_v0_17_msmarco_epssweep); (b) because tau*
-    is the MEDIAN energy, any uniform rescaling of the weights cancels
-    out of the bounded energy — the Gaussian's sigma acts as a POWER
-    transform on relative edge weights (exp(-d^2/2s^2)^(s0/s)), a shape
-    change the median cannot absorb."""
+    sigma_scale (a traced scalar, ~ eps/10) -> the DIFFERENTIAL eps
+    channel used on the reduction path (centroid signals), built so the
+    recorded eps sweeps move at every step like the reference's
+    (tests/output/1761065864_v0_17_msmarco_epssweep, nDCG
+    0.5955/0.5986/0.5997; a purely global Gaussian width was a power
+    transform of the weights whose effect the median tau* mostly
+    cancels — round-2 sweeps were near-flat at bench scale).  Two
+    mechanisms, both non-uniform across the graph:
+
+    (a) eps TOPOLOGY: k-NN edges farther than sigma_scale x the median
+        kept distance are pruned (each column unconditionally keeps its
+        nearest neighbor, so the graph can degrade but not empty out) —
+        the feature graph mirrors the item graph's eps-threshold
+        semantics (GRAPH_VARIABLES.md:7-10), and topology changes are
+        exactly what a monotone weight transform cannot express;
+    (b) PER-COLUMN local kernel widths (the round-2 "per-cluster
+        widths" diagnosis): sigma_ij = sigma_scale * sqrt(m_i * m_j)
+        with m_i = median kept distance of column i — relative weights
+        between dense and sparse feature neighborhoods change SHAPE
+        with eps, not just scale."""
     f = d2.shape[0]
     eye = jnp.eye(f, dtype=bool)
     d2 = jnp.where(eye, jnp.inf, d2)                  # exclude self-loops
@@ -74,9 +80,19 @@ def laplacian_from_sq_dists(d2: jnp.ndarray, *, k_f: int,
         kept = jnp.where(mask, d, jnp.nan)
         med = jnp.nanmedian(kept)
         med = jnp.where(jnp.isfinite(med) & (med > 0), med, 1.0)
-        sigma = med * sigma_scale
-        w_f = jnp.where(mask, jnp.exp(-(d * d) / (2.0 * sigma * sigma)),
-                        0.0)
+        # (a) eps topology: prune kept edges beyond the eps-scaled
+        # threshold; every column keeps its single nearest column.
+        nn_mask = jnp.zeros((f, f), dtype=bool)
+        nn_mask = nn_mask.at[jnp.arange(f), nbr[:, 0]].set(True)
+        nn_mask = nn_mask | nn_mask.T
+        keep = (mask & (d <= sigma_scale * med)) | nn_mask
+        keep = keep | keep.T
+        # (b) per-column local widths from the surviving edges.
+        kept_d = jnp.where(keep, d, jnp.nan)
+        m_i = jnp.nanmedian(kept_d, axis=1)
+        m_i = jnp.where(jnp.isfinite(m_i) & (m_i > 0), m_i, med)
+        sig2 = (sigma_scale * sigma_scale) * m_i[:, None] * m_i[None, :]
+        w_f = jnp.where(keep, jnp.exp(-(d * d) / (2.0 * sig2)), 0.0)
     degrees = jnp.sum(w_f, axis=1)
     lap_f = jnp.diag(degrees) - w_f
     return w_f, lap_f, degrees
