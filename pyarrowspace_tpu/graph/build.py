@@ -147,6 +147,18 @@ def _build_standard_inner(items, gp: GraphParams,
     dbg_println(cfg_line)
     log.debug(cfg_line)
 
+    import os as _os
+    suggest_dir = _os.environ.get("ARROWSPACE_SUGGEST_DIR")
+    if suggest_dir:
+        # Per-build parameter-recommendation artifact (the reference
+        # engine's suggested_eps.md, tests/output/1760705545_v0_16/).
+        from .suggest import emit_build_suggestions
+        emit_build_suggestions(
+            x, gp, suggest_dir,
+            build_log=[cfg_line,
+                       f"ArrowSpace created with {n} items and {f} "
+                       "features"])
+
     # Each phase ends with a device sync so the recorded timings attribute
     # work to the stage that does it (dispatch is async otherwise); the
     # pipeline is sequential, so the syncs cost nothing.

@@ -37,13 +37,17 @@ def suggest_graph_params(items, sample: int = 4096, seed: int = 42) -> dict:
 
     Samples up to `sample` rows; O(sample^2) pairwise work on-device.
     """
-    x = np.asarray(items)
-    n, f = x.shape
+    import jax as _jax
+    n, f = items.shape
     rng = np.random.default_rng(seed)
     if n > sample:
-        xs = x[rng.choice(n, size=sample, replace=False)]
+        sel = np.sort(rng.choice(n, size=sample, replace=False))
+        # Device corpora are sampled on-device (gather) — only the sample
+        # crosses the link, never the full corpus.
+        xs = np.asarray(items[sel] if isinstance(items, _jax.Array)
+                        else np.asarray(items)[sel])
     else:
-        xs = x
+        xs = np.asarray(items)
     m = xs.shape[0]
 
     idim, _ = twonn_intrinsic_dim(xs, seed=seed)
@@ -83,3 +87,129 @@ def suggest_graph_params(items, sample: int = 4096, seed: int = 42) -> dict:
     log.info("suggested params for N=%d F=%d ID=%d: eps=%.4g sigma=%.4g "
              "k=%d", n, f, idim, eps_rec, sigma_rec, k_rec)
     return rec
+
+
+def _ratio(cur, rec) -> str:
+    if cur in (None, 0):
+        return "(new)"
+    return f"{rec / cur:.2f}x"
+
+
+def format_suggestions_md(rec: dict, current: dict | None = None,
+                          avg_norm: float | None = None,
+                          build_log: list[str] | None = None) -> str:
+    """Render a recommendation document in the reference's per-build
+    suggested_eps.md layout (reference tests/output/1760705545_v0_16/
+    suggested_eps.md): build-log header, current-vs-recommended table,
+    dimension-aware rate insights, magnitude scenario table, warnings,
+    action items — so the artifact diffs directly against the
+    reference's."""
+    cur = current or {}
+    n, f, d = rec["n"], rec["nfeatures"], rec["intrinsic_dim"]
+    log_n = math.log(max(n, 3))
+    r = rec["rates"]
+    lines = ["# what is the suggested eps and sigma for the graph "
+             "described by these stats?", ""]
+    for ln in build_log or []:
+        lines.append(ln)
+    if build_log:
+        lines.append("")
+    lines += [
+        f"Based on your ArrowSpace configuration with **N={n:,} items**, "
+        f"**F={f} features**, and **estimated intrinsic dimension={d}**, "
+        "here are the recommended parameters:", "",
+        "## Recommended Parameters", "",
+        "| Parameter | Current | Recommended | Ratio |",
+        "| :-- | :-- | :-- | :-- |",
+        f"| **eps** | {cur.get('eps', 'None')} | **{rec['eps']}** | "
+        f"{_ratio(cur.get('eps'), rec['eps'])} |",
+        f"| **sigma** | {cur.get('sigma', 'None')} | **{rec['sigma']}** | "
+        f"{_ratio(cur.get('sigma'), rec['sigma'])} |",
+        f"| **k** | {cur.get('k', 'None')} | **{rec['k']}** | "
+        f"{_ratio(cur.get('k'), rec['k'])} |",
+        "| sampling | 0.6 | 0.6 | OK |", "",
+        "## Key Insights", "",
+        f"The Two-NN intrinsic dimension estimate is **{d}**: the "
+        f"{f}-dimensional embeddings concentrate on a {d}-dimensional "
+        "manifold, so the dimension-aware graph-consistency rates apply:",
+        "",
+        f"- eps(n) ~ (log n / n)^(2/(d+2)) = ({log_n:.2f}/{n})"
+        f"^{2.0 / (d + 2):.3g} = {r['eps']:.4g}",
+        f"- sigma(n) ~ (log n / n)^(1/(d+2)) = ({log_n:.2f}/{n})"
+        f"^{1.0 / (d + 2):.3g} = {r['sigma']:.4g}",
+        f"- s(n) ~ (n / log n)^(1/d) = ({n}/{log_n:.2f})"
+        f"^(1/{max(d, 1)}) = {r['k']:.4g}",
+        "",
+        "The recommended eps is the rate calibrated to the corpus's own "
+        "sampled k-NN rectified-cosine distances (90th percentile of the "
+        f"k-th neighbor distance at k={rec['k']}); sigma keeps the "
+        f"observed sigma/eps recommendation ratio {SIGMA_EPS_RATIO}.", "",
+        "## Scenario Adjustments", "",
+        "Parameters track data magnitude (normalise=false); recommended "
+        "values per average L2 norm:", "",
+        "| Data Type | avg_norm | eps | sigma | Notes |",
+        "| :-- | :-- | :-- | :-- | :-- |",
+    ]
+    base_norm = avg_norm if avg_norm else 0.7
+    for label, nrm, note in [
+            ("This corpus" if avg_norm else "L2-normalized", base_norm,
+             "Recommended baseline"),
+            ("Unit vectors", 1.0, "If pre-normalized"),
+            ("Unnormalized typical", 2.0, "May need rescaling"),
+            ("Raw features", 5.0, "Definitely rescale")]:
+        s = nrm / base_norm
+        lines.append(f"| {label} | {nrm:.2g} | {rec['eps'] * s:.3g} | "
+                     f"{rec['sigma'] * s:.3g} | {note} |")
+    lines += ["", "## Warnings", ""]
+    if cur.get("eps") is not None and cur["eps"] < 0.85 * rec["eps"]:
+        lines.append(
+            f"- Current eps={cur['eps']} is LOW: with {n:,} items on a "
+            f"{d}D manifold, eps~{rec['eps']} maintains connectivity as "
+            "neighborhoods shrink.")
+    if cur.get("eps") is not None and cur["eps"] > 1.5 * rec["eps"]:
+        lines.append(
+            f"- Current eps={cur['eps']} is HIGH: the eps ball admits "
+            "far neighbors and the graph over-connects; expect flatter "
+            "lambdas.")
+    if cur.get("k") is not None and cur["k"] < rec["k"]:
+        lines.append(
+            f"- Current k={cur['k']} is LOW: theory recommends "
+            f"k ~ 2 log(n) = {rec['k']} for connected graphs with high "
+            "probability.")
+    if len(lines) > 0 and lines[-1] == "":
+        lines.append("- No parameter warnings for this configuration.")
+    lines += [
+        "", "## Action Items", "",
+        "1. Compute the average L2 norm of the data to pick the scenario "
+        "row that applies.",
+        "2. If avg_norm < 0.1 or > 10, rescale the data first: taumode "
+        "lambdas collapse to 0.0 on magnitude/eps mismatch.",
+        f"3. Set eps = {rec['eps']} (conservative floor: "
+        f"{0.88 * rec['eps']:.3g}).",
+        f"4. Set sigma = {rec['sigma']} for the Gaussian kernel edge "
+        "weighting.",
+        f"5. Set k = {rec['k']} (resource-constrained floor: "
+        f"{max(4, int(rec['k'] * 0.7))}).", "",
+    ]
+    return "\n".join(lines)
+
+
+def emit_build_suggestions(items, gp, out_dir: str,
+                           build_log: list[str] | None = None) -> str:
+    """Write the per-build suggested_eps.md artifact (opt-in via
+    ARROWSPACE_SUGGEST_DIR; called from the standard build pipeline).
+    Returns the written path."""
+    import os
+    x = items if hasattr(items, "shape") else np.asarray(items)
+    rec = suggest_graph_params(x)
+    norms = np.linalg.norm(np.asarray(x[: min(4096, x.shape[0])]), axis=1)
+    current = {"eps": gp.eps, "sigma": gp.sigma, "k": gp.k}
+    doc = format_suggestions_md(rec, current=current,
+                                avg_norm=float(norms.mean()),
+                                build_log=build_log)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "suggested_eps.md")
+    with open(path, "w") as fh:
+        fh.write(doc)
+    log.info("wrote %s", path)
+    return path

@@ -157,3 +157,24 @@ def test_suggest_graph_params():
           "sigma": rec["sigma"]}
     _, gl = ArrowSpaceBuilder.build(gp, items)
     assert gl.nedges > items.shape[0]  # well-connected
+
+
+def test_suggested_eps_artifact(tmp_path, monkeypatch):
+    """Per-build suggested_eps.md artifact (reference tests/output/
+    1760705545_v0_16/suggested_eps.md): emitted when
+    ARROWSPACE_SUGGEST_DIR is set, reference section layout."""
+    monkeypatch.setenv("ARROWSPACE_SUGGEST_DIR", str(tmp_path))
+    rng = np.random.default_rng(6)
+    latent = rng.normal(size=(1500, 3))
+    items = latent @ rng.normal(size=(3, 64))
+    gp = {"eps": 0.2, "k": 6, "topk": 4, "p": 2.0, "sigma": None}
+    ArrowSpaceBuilder.build(gp, items)
+    doc = (tmp_path / "suggested_eps.md").read_text()
+    assert doc.startswith("# what is the suggested eps and sigma")
+    for section in ("## Recommended Parameters", "## Key Insights",
+                    "## Scenario Adjustments", "## Warnings",
+                    "## Action Items"):
+        assert section in doc, section
+    assert "Build configuration: eps=0.2" in doc
+    assert "| **eps** | 0.2 |" in doc
+    assert "intrinsic dimension=" in doc
