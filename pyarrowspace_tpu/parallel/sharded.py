@@ -640,6 +640,38 @@ class ShardedArrowSpace:
         return np.asarray(idx), np.asarray(vals)
 
 
+def ingest_sharded(arr, mesh: Mesh, dtype, col_tile: int) -> jnp.ndarray:
+    """Per-shard streaming ingest: the host corpus reaches the mesh as one
+    row-chunk per device (host slice -> device_put to THAT device ->
+    assembled with make_array_from_single_device_arrays), so no device
+    ever materializes the full corpus — the point of sharding corpora
+    larger than one chip's HBM (VERDICT r2 item 5).  Device-resident
+    inputs are redistributed with a sharded device_put instead.
+
+    Returns x_pad [n_pad, F] row-sharded over the mesh's data axis, zero
+    row padding to a (n_dev * col_tile)-aligned length."""
+    n, f = arr.shape
+    n_dev = mesh.devices.size
+    block = n_dev * col_tile
+    n_pad = ((n + block - 1) // block) * block
+    row_shard = NamedSharding(mesh, P(DATA_AXIS))
+    if isinstance(arr, jax.Array):
+        x_pad = jnp.pad(arr.astype(dtype), ((0, n_pad - n), (0, 0)))
+        return jax.device_put(x_pad, row_shard)
+    rows_per = n_pad // n_dev
+    arr_np = np.asarray(arr)
+    shards = []
+    for d, dev in enumerate(mesh.devices.reshape(-1)):
+        lo = d * rows_per
+        chunk = arr_np[lo: min(lo + rows_per, n)].astype(dtype, copy=False)
+        if chunk.shape[0] < rows_per:
+            chunk = np.pad(chunk,
+                           ((0, rows_per - chunk.shape[0]), (0, 0)))
+        shards.append(jax.device_put(chunk, dev))
+    return jax.make_array_from_single_device_arrays(
+        (n_pad, f), row_shard, shards)
+
+
 def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
                   config: BuildConfig = DEFAULT_BUILD_CONFIG
                   ) -> tuple[ShardedArrowSpace, GraphLaplacian]:
@@ -652,17 +684,15 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
     n_dev = mesh.devices.size
     arr = validate_items(items)
     dtype = _pick_dtype(arr)
-    x = jnp.asarray(arr, dtype=dtype)
-    n, f = x.shape
+    n, f = arr.shape
     sigma = gp.sigma_resolved
 
-    # Pad rows so each shard gets an equal, tile-aligned block.
+    # Pad rows so each shard gets an equal, tile-aligned block; the host
+    # corpus streams to the mesh shard-by-shard (ingest_sharded).
     col_tile = 128 if n < 8192 else config.col_tile
-    block = n_dev * col_tile
-    n_pad = ((n + block - 1) // block) * block
-    x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0)))
-    row_shard = NamedSharding(mesh, P(DATA_AXIS))
-    x_pad = jax.device_put(x_pad, row_shard)
+    with phase("sharded_ingest"):
+        x_pad = ingest_sharded(arr, mesh, dtype, col_tile)
+    n_pad = x_pad.shape[0]
     xu_pad = unit_normalize(x_pad)
     stored_pad = xu_pad if gp.normalise else x_pad
 
@@ -687,9 +717,11 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
     # Reduction stage — same policy as the single-chip build (graph/build.py):
     # when dims_reduction is on and the corpus is big enough, the feature
     # Laplacian is built from centroid signals, not the full corpus columns.
-    # reduce_corpus runs replicated on the unsharded input (it is a sampled
-    # k-means over <=60% of rows — negligible next to the ring k-NN) so the
-    # centroids are bit-identical to the single-chip stage.
+    # reduce_corpus consumes the SHARDED rows (sample gather, Lloyd matmuls
+    # and segment sums all run distributed under GSPMD) — the stage never
+    # materializes the corpus on one device.  Same seeds/sample as the
+    # single-chip stage; the distributed summation order can differ in the
+    # last float ulps, which the parity tests' 1e-8 tolerance absorbs.
     centroids = None
     assignments = None
     if gp.dims_reduction and n >= config.reduction_min_n:
@@ -698,9 +730,8 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
             from ..reduction.pipeline import SAMPLING_KEEP_RATE
             keep = (config.sampling_rate if config.sampling_rate is not None
                     else SAMPLING_KEEP_RATE)
-            stored_local = unit_normalize(x) if gp.normalise else x
-            red = reduce_corpus(stored_local, seed=gp.seed, keep_rate=keep,
-                                eps_hint=gp.eps)
+            red = reduce_corpus(stored_pad[:n], seed=gp.seed,
+                                keep_rate=keep, eps_hint=gp.eps)
             centroids, assignments = red.centroids, red.assignments
 
     with phase("sharded_feature_laplacian"):

@@ -331,3 +331,55 @@ def test_sharded_hybrid_and_energy_parity():
     sei, sev = sspace.search_energy_batch(queries, 8)
     np.testing.assert_array_equal(ei, sei)
     np.testing.assert_allclose(ev, sev, rtol=1e-12)
+
+
+def test_streaming_ingest_never_materializes_full_corpus(monkeypatch):
+    """VERDICT r2 item 5: host-sourced sharded builds must reach the mesh
+    as per-shard chunks — no single device_put of the full corpus, and
+    each device holds exactly n_pad/n_dev rows afterwards."""
+    import jax
+    from pyarrowspace_tpu.parallel.mesh import make_mesh
+    from pyarrowspace_tpu.parallel.sharded import ingest_sharded
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(1000, 32))
+
+    put_rows = []
+    real_put = jax.device_put
+
+    def spy_put(x, *a, **k):
+        if hasattr(x, "shape") and getattr(x, "ndim", 0) == 2:
+            put_rows.append(int(x.shape[0]))
+        return real_put(x, *a, **k)
+
+    monkeypatch.setattr(jax, "device_put", spy_put)
+    x_pad = ingest_sharded(arr, mesh, np.dtype(np.float64), col_tile=128)
+    n_pad = x_pad.shape[0]
+    assert n_pad % (n_dev * 128) == 0
+    # every transfer was one shard, never the whole corpus
+    assert put_rows and max(put_rows) == n_pad // n_dev, put_rows
+    # per-device footprint is exactly one shard
+    for s in x_pad.addressable_shards:
+        assert s.data.shape[0] == n_pad // n_dev
+    # values match the monolithic pad+put path
+    ref = np.zeros((n_pad, 32))
+    ref[:1000] = arr
+    np.testing.assert_array_equal(np.asarray(x_pad), ref)
+
+
+def test_streaming_ingest_feeds_identical_build():
+    """A host-sourced build through the streaming ingest matches the
+    single-chip build (full lambdas parity at the default mesh size)."""
+    from pyarrowspace_tpu.graph.build import build_standard
+    from pyarrowspace_tpu.parallel.sharded import build_sharded
+
+    rng = np.random.default_rng(5)
+    corpus = rng.normal(size=(600, 48)) * 3.0
+    gp = parse_graph_params({"eps": 0.6, "k": 6, "topk": 4, "p": 2.0,
+                             "sigma": None})
+    aspace, _ = build_standard(corpus, gp)
+    sspace, _ = build_sharded(corpus, gp)
+    np.testing.assert_allclose(sspace.lambdas(), aspace.lambdas(),
+                               rtol=1e-8)
