@@ -112,6 +112,78 @@ def _pick_dtype(arr: np.ndarray) -> np.dtype:
     return np.dtype(np.float32)
 
 
+def _run_symmetrize(i, w, ell_width: int, n: int, k: int, f: int):
+    """Symmetrize-stage dispatch (memory-bounded on device, VERDICT r2
+    item 4 — the old path predicted an OOM and routed large builds
+    through the native host engine).
+
+    Modes (ARROWSPACE_SYMMETRIZE):
+      auto / device (default): the fused one-sort op
+        (ops/symmetrize.symmetrize_to_ell) for small graphs; the chunked
+        row-range op (symmetrize_to_ell_chunked, bit-identical, ~n_chunks
+        x lower peak HBM) when the fused sort's ~10 x 2Nk temps would
+        crowd a 16 GB chip (n*k > 20M, f >= 512).  Chunk overflow (hub-
+        heavy rows) retries with more chunks, then falls back.
+      device_fused: always the fused op.
+      host: the native OpenMP engine (io/native.symmetrize_host).
+    A real device OOM still falls back to the host engine when available.
+    """
+    import os as _os
+    from ..ops.symmetrize import symmetrize_to_ell_chunked
+    mode = _os.environ.get("ARROWSPACE_SYMMETRIZE", "auto")
+
+    def host_fallback(reason: str):
+        from ..io.native import symmetrize_host
+        dbg_println(f"symmetrize: {reason} -> native host engine")
+        log.warning("symmetrize fell back to the native host engine (%s)",
+                    reason)
+        host = symmetrize_host(np.asarray(i), np.asarray(w, np.float64),
+                               ell_width)
+        if host is None:
+            return None
+        h_idx, h_w, n_dropped = host
+        return (jnp.asarray(h_idx),
+                jnp.asarray(h_w.astype(np.asarray(w).dtype)),
+                None, n_dropped)
+
+    if mode == "host":
+        out = host_fallback("ARROWSPACE_SYMMETRIZE=host")
+        if out is None:
+            raise RuntimeError(
+                "ARROWSPACE_SYMMETRIZE=host but the native engine is "
+                "unavailable (no compiler / build failure)")
+        nbr_idx, nbr_w, _, n_dropped = out
+        return nbr_idx, nbr_w, jnp.sum(nbr_w, axis=1), int(n_dropped)
+
+    large = n * k > 20_000_000 and f >= 512
+    use_chunked = mode != "device_fused" and large
+    try:
+        if use_chunked:
+            for n_chunks in (16, 64):
+                nbr_idx, nbr_w, degrees, n_dropped, n_over = \
+                    symmetrize_to_ell_chunked(i, w, ell_width,
+                                              n_chunks=n_chunks)
+                if int(n_over) == 0:
+                    return nbr_idx, nbr_w, degrees, int(n_dropped)
+                log.warning("chunked symmetrize overflow at n_chunks=%d "
+                            "(%d entries); retrying", n_chunks, int(n_over))
+            raise MemoryError("chunked symmetrize overflow (hub-heavy "
+                              "graph exceeds per-chunk capacity)")
+        nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(
+            i, w, ell_width)
+        return nbr_idx, nbr_w, degrees, int(n_dropped)
+    except Exception as e:  # real device OOM / overflow -> host engine
+        if ("out of memory" not in str(e).lower()
+                and not isinstance(e, MemoryError)):
+            raise
+        out = host_fallback(f"device symmetrize failed: "
+                            f"{str(e).splitlines()[0][:120]}")
+        if out is None:
+            raise
+        nbr_idx, nbr_w, _, n_dropped = out
+        return nbr_idx, nbr_w, jnp.sum(nbr_w, axis=1), int(n_dropped)
+
+
 def build_standard(items, gp: GraphParams,
                    config: BuildConfig = DEFAULT_BUILD_CONFIG
                    ) -> tuple[ArrowSpace, GraphLaplacian]:
@@ -190,58 +262,8 @@ def _build_standard_inner(items, gp: GraphParams,
         ell_width = (config.ell_width if config.ell_width is not None
                      else 2 * gp.k)
         ell_width = min(ell_width, max(n - 1, 1))
-        # Predictive host cut: the fused device sort holds ~10 x 2Nk entry
-        # temps next to the resident corpus; at 1M x 768 / k=25 that tips
-        # a 16 GB chip over and the failed compile alone costs minutes.
-        # ARROWSPACE_SYMMETRIZE=host forces the native engine; =device
-        # forces the device op.
-        mode = _os.environ.get("ARROWSPACE_SYMMETRIZE", "auto")
-        predict_oom = (mode == "host"
-                       or (mode == "auto" and n * gp.k > 20_000_000
-                           and f >= 512))
-        _SYNTHETIC_OOM = "predicted symmetrize OOM"
-        try:
-            if predict_oom:
-                raise MemoryError(f"{_SYNTHETIC_OOM} "
-                                  f"(n*k={n * gp.k}, f={f})")
-            nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(
-                i, w, ell_width)
-            n_dropped = int(n_dropped)
-        except Exception as e:  # device OOM -> native host engine
-            if ("out of memory" not in str(e).lower()
-                    and not isinstance(e, MemoryError)):
-                raise
-            # The fused device sort needs ~10 x 2Nk entries of HBM temps;
-            # at 1M x 768 that tips a 16 GB chip over.  The OpenMP host
-            # engine (native/arrowspace_host.cpp::asx_symmetrize_ell,
-            # bit-identical semantics — tests/test_native.py) takes over:
-            # pull [N,k] candidates, symmetrize on host, push the ELL.
-            from ..io.native import symmetrize_host
-            dbg_println("symmetrize: device OOM -> native host engine")
-            log.warning("symmetrize fell back to the native host engine "
-                        "(device OOM: %s)", str(e).splitlines()[0][:120])
-            host = symmetrize_host(np.asarray(i), np.asarray(w, np.float64),
-                                   ell_width)
-            if host is None:
-                # Native engine unavailable (no compiler / build failure).
-                # If the trigger was only the PREDICTIVE cut (a heuristic
-                # sized for 16 GB chips), attempt the device op after all
-                # rather than failing a build that might fit (ADVICE r2);
-                # a real device OOM (or explicit =host) still raises.
-                if _SYNTHETIC_OOM in str(e) and mode != "host":
-                    log.warning("native engine unavailable; attempting the "
-                                "device symmetrize despite the predicted "
-                                "OOM")
-                    nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(
-                        i, w, ell_width)
-                    n_dropped = int(n_dropped)
-                else:
-                    raise
-            else:
-                h_idx, h_w, n_dropped = host
-                nbr_idx = jnp.asarray(h_idx)
-                nbr_w = jnp.asarray(h_w.astype(np.asarray(w).dtype))
-                degrees = jnp.sum(nbr_w, axis=1)
+        nbr_idx, nbr_w, degrees, n_dropped = _run_symmetrize(
+            i, w, ell_width, n, gp.k, f)
     gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
                                   n_dropped=n_dropped)
 

@@ -131,3 +131,140 @@ def symmetrize_to_ell(idx: jnp.ndarray, w: jnp.ndarray, ell_width: int):
     nbr_w = nbr_w[: n * m].reshape(n, m)
     degrees = jnp.sum(nbr_w, axis=1)
     return nbr_idx, nbr_w, degrees, n_dropped
+
+
+def _mutual_chunked(idx, safe_idx, valid_f, n_chunks: int):
+    """Chunked mutual-edge detection: the [N, k, k] gather-compare of the
+    fused version processed in row blocks, peak [R, k, k]."""
+    n, k = idx.shape
+    r = -(-n // n_chunks)
+    n_pad = r * n_chunks
+    pad = ((0, n_pad - n), (0, 0))
+    idx_p = jnp.pad(safe_idx, pad)
+    ids_p = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, n_pad - n),
+                    constant_values=-1)
+
+    def blk(args):
+        sidx, ids = args
+        eq = idx[sidx] == ids[:, None, None]          # [R, k, k]
+        return jnp.any(eq, axis=2), jnp.argmax(eq, axis=2).astype(jnp.int32)
+
+    mut, slot = jax.lax.map(blk, (idx_p.reshape(n_chunks, r, k),
+                                  ids_p.reshape(n_chunks, r)))
+    mutual = mut.reshape(n_pad, k)[:n] & valid_f
+    partner_slot = slot.reshape(n_pad, k)[:n]
+    return mutual, partner_slot
+
+
+@functools.partial(jax.jit, static_argnames=("ell_width", "n_chunks",
+                                             "cap_factor"))
+def symmetrize_to_ell_chunked(idx: jnp.ndarray, w: jnp.ndarray,
+                              ell_width: int, n_chunks: int = 16,
+                              cap_factor: int = 3):
+    """Memory-bounded symmetrize: bit-identical to symmetrize_to_ell but
+    with peak temporaries ~n_chunks x smaller (VERDICT r2 item 4 — the
+    fused single-sort version holds ~10 x 2Nk entry temps, which OOMs a
+    16 GB chip at 1M x 768 / k=25 beside the resident corpus).
+
+    Plan: ONE light global sort (key = destination row, payload = entry
+    id) buckets the 2Nk ordered entries by row range; each of the
+    n_chunks row ranges then holds ALL entries of its rows, so the
+    per-row (row, -w, col) ranking — computed by a LOCAL 5-array sort of
+    at most cap_factor*R*k entries — is identical to the fused global
+    sort's.  Two chunk passes: fit flags (pos < width), then placement
+    of the edges that fit in BOTH endpoint rows (the cross-chunk
+    both-fit combine uses the same gathers as the fused version).
+
+    Returns (nbr_idx, nbr_w, degrees, n_dropped, n_overflow):
+    n_overflow > 0 means a hub-heavy chunk exceeded its entry capacity
+    (cap_factor * R * k); results are then INVALID and the caller must
+    retry with more chunks / higher cap_factor or fall back.
+    """
+    n, k = idx.shape
+    m = ell_width
+    r_rows = -(-n // n_chunks)
+    cap = min(cap_factor * r_rows * k, 2 * n * k)
+    node_ids = jnp.arange(n, dtype=jnp.int32)
+    valid_f = idx >= 0
+    safe_idx = jnp.where(valid_f, idx, 0)
+
+    mutual, partner_slot = _mutual_chunked(idx, safe_idx, valid_f, n_chunks)
+
+    rows_f = jnp.broadcast_to(node_ids[:, None], (n, k)).reshape(-1)
+    cols_f = idx.reshape(-1)
+    w_f = w.reshape(-1)
+    rev_valid = (valid_f & ~mutual).reshape(-1)
+    entry_row = jnp.concatenate([rows_f, cols_f])
+    entry_col = jnp.concatenate([cols_f, rows_f])
+    entry_w = jnp.concatenate([w_f, w_f])
+    entry_valid = jnp.concatenate([valid_f.reshape(-1), rev_valid])
+
+    # Bucketing sort: 2 int32 arrays only (vs the fused version's 5-array
+    # payload sort) — the big-N memory win.
+    dest = jnp.where(entry_valid, entry_row, n)
+    eid_sorted = jax.lax.sort(
+        (dest, jnp.arange(2 * n * k, dtype=jnp.int32)), num_keys=1)[1]
+    dest_sorted = dest[eid_sorted]
+    bounds = jnp.searchsorted(dest_sorted,
+                              jnp.arange(0, n_chunks + 1, dtype=jnp.int32)
+                              * r_rows)
+    counts = bounds[1:] - bounds[:-1]
+    n_overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+
+    def chunk_entries(c):
+        # dynamic_slice clamps start to len-cap near the array end; track
+        # the shift so the validity window still covers THIS chunk's
+        # entries only.
+        start = jnp.minimum(bounds[c], 2 * n * k - cap)
+        off = bounds[c] - start
+        e = jax.lax.dynamic_slice(eid_sorted, (start,), (cap,))
+        pos = jnp.arange(cap)
+        ok = (pos >= off) & (pos < off + (bounds[c + 1] - bounds[c]))
+        rr = jnp.where(ok & entry_valid[e], entry_row[e], n)
+        return e, rr
+
+    def fit_pass(c, fits):
+        e, rr = chunk_entries(c)
+        r2, _, _, e2 = jax.lax.sort(
+            (rr, -entry_w[e], entry_col[e], e), num_keys=3)
+        in_row = r2 < n
+        pos = _rank_within_rows(r2, in_row, n)
+        # The slice window overlaps neighboring chunks' entries (rr = n
+        # for them); scatter THEIR writes to the sentinel slot so only
+        # each entry's owning chunk sets its flag.
+        tgt = jnp.where(in_row, e2, 2 * n * k)
+        return fits.at[tgt].set(in_row & (pos < m))
+
+    fits = jnp.zeros((2 * n * k + 1,), dtype=bool)
+    fits = jax.lax.fori_loop(0, n_chunks, fit_pass, fits)
+
+    fits_fwd = fits[: n * k].reshape(n, k)
+    fits_rev = fits[n * k: 2 * n * k].reshape(n, k)
+    partner_fit_mutual = fits_fwd[safe_idx, partner_slot]
+    partner_fit = jnp.where(mutual, partner_fit_mutual, fits_rev)
+    surv_fwd = fits_fwd & partner_fit & valid_f
+    surv_rev = fits_rev & fits_fwd & rev_valid.reshape(n, k)
+    survives = jnp.concatenate(
+        [surv_fwd.reshape(-1), surv_rev.reshape(-1)])
+    n_dropped = jnp.sum(entry_valid & ~survives).astype(jnp.int32)
+
+    def place_pass(c, out):
+        nbr_idx, nbr_w = out
+        e, rr = chunk_entries(c)
+        r2, _, c2, w2, e2 = jax.lax.sort(
+            (rr, -entry_w[e], entry_col[e], entry_w[e], e), num_keys=3)
+        surv = survives[e2] & (r2 < n)
+        pos2 = _rank_within_rows(r2, surv, n)
+        flat_pos = jnp.where(surv, r2 * m + pos2, n * m)
+        nbr_idx = nbr_idx.at[flat_pos].set(jnp.where(surv, c2, -1))
+        nbr_w = nbr_w.at[flat_pos].set(jnp.where(surv, w2, 0.0))
+        return nbr_idx, nbr_w
+
+    nbr_idx = jnp.full((n * m + 1,), -1, dtype=jnp.int32)
+    nbr_w = jnp.zeros((n * m + 1,), dtype=w.dtype)
+    nbr_idx, nbr_w = jax.lax.fori_loop(0, n_chunks, place_pass,
+                                       (nbr_idx, nbr_w))
+    nbr_idx = nbr_idx[: n * m].reshape(n, m)
+    nbr_w = nbr_w[: n * m].reshape(n, m)
+    degrees = jnp.sum(nbr_w, axis=1)
+    return nbr_idx, nbr_w, degrees, n_dropped, n_overflow
