@@ -84,3 +84,23 @@ def test_ir_eval_artifact_schema():
         assert m in data["metrics"], m
     for metric in ("recall@10", "mrr", "ndcg@10"):
         assert metric in data["metrics"]["cosine"], metric
+
+
+def test_energy_fixed_313k_anchor():
+    """The 313k-scale EnergyMaps fixed-config anchor (VERDICT r2 item 6):
+    reference records graph_nodes=120 and MRR 0.6667 / nDCG 0.6644 at
+    313,841 items (tests/output/1761239603_v0_18_energymaps_9_fixed).
+    The recorded run must stay in the same structural regime: ~100-node
+    compressed energy graph at 313,841 items, pinned config eta=0.05 /
+    steps=4, OK status, MRR comfortably above the degenerate regime."""
+    import json as _json
+    d = _latest("energy_fixed_313k", "summary.json")
+    data = _json.loads(d.read_text())
+    assert data["dataset_size"] == 313841
+    cfg = data["config"]
+    assert cfg["status"] == "OK"
+    assert cfg["eta"] == 0.05 and cfg["steps"] == 4
+    assert 80 <= cfg["graph_nodes"] <= 160, cfg  # reference: 120
+    assert cfg["avg_mrr"] >= 0.5, cfg            # reference: 0.6667
+    sug = d.parent / "suggested_eps.md"
+    assert "N=313,841 items" in sug.read_text()
