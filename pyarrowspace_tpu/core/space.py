@@ -335,14 +335,20 @@ class ArrowSpace:
         and the wider candidate merge makes this mode ~25% slower than
         exact — prefer it only on int8-rich parts (v5p/v6e) or
         bandwidth-bound deployments (the int8 corpus is 4x smaller);
+        "subtile" runs the block-max routed scan (transposed Pallas
+        phase-a + whole-subtile bf16 rescan + f32 rescore): selection is
+        EXACT at the scan dtype by the block-max bound, and it is the
+        fastest large-corpus mode (the phase-a kernel has no per-entry
+        top-k merge work);
         "ivf" routes through the n_probe nearest clusters per query
         (gather-based, best up to ~10^5 items); "ivf_block" uses the
         cluster-contiguous Pallas slab kernel (block-shared probes,
         large-corpus scale).  ivf modes are approximate; enable_ivf() is
         built on demand."""
-        if mode not in ("exact", "int8", "ivf", "ivf_block"):
+        if mode not in ("exact", "int8", "subtile", "ivf", "ivf_block"):
             raise ValueError(f"unknown search mode {mode!r}; expected "
-                             "'exact', 'int8', 'ivf', or 'ivf_block'")
+                             "'exact', 'int8', 'subtile', 'ivf', or "
+                             "'ivf_block'")
         q = jnp.asarray(queries, dtype=self._data.dtype)
         if q.ndim != 2 or q.shape[1] != self.nfeatures:
             raise ValueError(
@@ -363,6 +369,22 @@ class ArrowSpace:
                 self._tau_star.astype(jnp.float32),
                 q.astype(jnp.float32), jnp.float32(tau), topk=topk,
                 rescore_m=min(4 * topk, self.nitems),
+                rayleigh_normalized=self._rayleigh_normalized,
+                tau_mix=self._tau_mix)
+            return np.asarray(idx), np.asarray(vals)
+        if mode == "subtile":
+            from ..ops.pallas.subtile_scan import build_subtile_state
+            if getattr(self, "_subtile", None) is None:
+                self._subtile = build_subtile_state(
+                    self._data_unit.astype(jnp.float32),
+                    self._lambdas.astype(jnp.float32))
+            st = self._subtile
+            idx, vals = search_ops.fused_query_pipeline_subtile(
+                st["xu_scan"], st["xu_f32"], st["lambdas"], st["n_real"],
+                self._lap_f.astype(jnp.float32),
+                self._w_f.astype(jnp.float32),
+                self._tau_star.astype(jnp.float32),
+                q.astype(jnp.float32), jnp.float32(tau), topk=topk,
                 rayleigh_normalized=self._rayleigh_normalized,
                 tau_mix=self._tau_mix)
             return np.asarray(idx), np.asarray(vals)

@@ -18,16 +18,19 @@ Pipeline (phase a = this kernel, b/c = plain XLA):
      sublane-group reduction (log2(64) shifted maxes, no lane crossings,
      no data-dependent control flow).  Output: subtile-max matrix
      [n_subtiles, Q].
-  b. top-S subtiles per query (lax.top_k over [Q, n_subtiles]), expand to
-     S*64 candidate ids, score them against the INT8 corpus (gather +
-     einsum; 1 byte/element keeps the gather bandwidth ~6x below the f32
-     corpus) -> top-(4*topk) pool.
-  c. exact f32 rescore of the pool (ops/search.rescore_candidates) —
-     served scores are f32-exact.
+  b. top-S subtiles per query (lax.top_k over [Q, n_subtiles]), then
+     rescan the selected subtiles as WHOLE 64-row blocks gathered from
+     the same scan corpus ([N/64, 64, F] is a free reshape view, so each
+     gather is one ~96 KB contiguous DMA instead of 64 row gathers) with
+     the SAME dtype/accumulation as phase a -> the block-max guarantee
+     holds end-to-end and phase b's top-k equals a full scan's top-k.
+  c. exact f32 rescore of the top-(pool_m) pool — served scores are
+     f32-exact.
 
 The scan dtype is bf16 by default (2x MXU rate, f32 accumulation;
-measured Mosaic int8 matmul on v5e is NOT faster than f32, so int8 is
-used only as the phase-b wire format).
+measured Mosaic int8 matmul on v5e is NOT faster than f32, and an int8
+phase-b wire format mis-ranks the pool cut — bf16 blocks keep selection
+exact for 2x the gather bytes, still contiguous-DMA cheap).
 """
 
 from __future__ import annotations
@@ -36,7 +39,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,107 +46,72 @@ SUBTILE = 64          # items per subtile (block-max granularity)
 _NEG_INF = -3.0e38
 
 
-def _subtile_kernel(qn_ref, xu_ref, lam_ref, lamq_ref, tau_ref, sel_ref,
-                    out_ref, scr, *, col_tile: int, group: int):
-    """One (q_block, corpus_tile) step in the production [Qb, T]
-    orientation: blended scores, windowed circular lane max (after
-    log2(SUBTILE) roll+max steps, every lane at a SUBTILE-aligned group
-    start holds its group's exact max), then a 0/1 selection matmul
-    compacts the group-start lanes of `group` consecutive tiles into one
-    128-lane output block accumulated in scratch."""
-    t = pl.program_id(1)
+def _subtile_kernel_t(xu_ref, qn_ref, lam_ref, lamq_ref, tau_ref, out_ref):
+    """Transposed phase-a step: corpus items on SUBLANES.
 
-    @pl.when(t % group == 0)
-    def _init():
-        scr[:] = jnp.zeros_like(scr)
-
+    scores^T [T, Qb] = xu_tile @ qn^T puts each 64-item subtile on 64
+    consecutive sublanes, so the subtile max is a sublane-axis
+    reshape+max — 8 elementwise vreg maxes + an in-vreg sublane tree —
+    with no lane rotations, no selection matmul, no scratch
+    accumulation, and no data-dependent control flow.  (The previous
+    lane-major shell needed 6 full-width pltpu.roll+max passes plus a
+    [T,128] 0/1 compaction matmul; its VPU work rivaled the dot and its
+    3-D sel BlockSpec pathologically slowed Mosaic compilation.)
+    Emits the per-tile subtile-max block [T/64, Qb]; the caller
+    transposes the assembled [N/64, Q] matrix once (bandwidth-trivial
+    next to the scan)."""
+    xu_t = xu_ref[:]                      # [T, F]
     qn = qn_ref[:]                        # [Qb, F]
-    xu = xu_ref[:]                        # [T, F]
-    tau = tau_ref[0]
-    acc = jax.lax.dot_general(qn, xu, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [Qb, T]
-    lam_t = lam_ref[0:1, :]               # [1, T]
-    lam_q = lamq_ref[:, 0:1]              # [Qb, 1]
-    prox = 1.0 / (1.0 + jnp.abs(lam_t - lam_q))
+    tau = tau_ref[0, 0]
+    acc = jax.lax.dot_general(xu_t, qn, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [T, Qb]
+    prox = 1.0 / (1.0 + jnp.abs(lam_ref[:] - lamq_ref[0:1, :]))
     score = tau * acc + (1.0 - tau) * prox
-
-    # Windowed circular max: lane j ends with max(score[j .. j+SUB-1]).
-    m = score
-    shift = 1
-    while shift < SUBTILE:
-        # left-rotate by `shift` == right-rotate by (width - shift)
-        m = jnp.maximum(m, pltpu.roll(m, col_tile - shift, 1))
-        shift *= 2
-    # Compact group-start lanes into the scratch's 128 lanes; the 0/1
-    # selection matrix for THIS tile-within-group is prefetched via the
-    # sel block index map.  Non-selected lanes contribute 0 to disjoint
-    # output lanes, so a plain add accumulates the group.
-    contrib = jax.lax.dot_general(m, sel_ref[0],
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-    scr[:] = scr[:] + contrib
-
-    @pl.when(t % group == group - 1)
-    def _emit():
-        out_ref[:] = scr[:]
+    nsub = score.shape[0] // SUBTILE
+    out_ref[:] = jnp.max(score.reshape(nsub, SUBTILE, score.shape[1]),
+                         axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("q_block", "col_tile",
                                              "interpret"))
-def _subtile_pallas(xu_pad, lam_row, qn_pad, lamq_col, tau, *, q_block,
-                    col_tile, interpret=False):
+def _subtile_pallas_t(xu_pad, lam_col, qn_pad, lamq_row, tau, *, q_block,
+                      col_tile, interpret=False):
+    """Transposed subtile-max scan: returns sub_max [Q_pad, N_pad/64]."""
     n_pad, f = xu_pad.shape
     q_pad = qn_pad.shape[0]
-    n_tiles = n_pad // col_tile
     nsub = col_tile // SUBTILE
-    group = max(1, 128 // nsub)           # tiles per 128-lane out block
-    grid = (q_pad // q_block, n_tiles)
-
-    # 0/1 selection matrices: tile g-within-group maps its group-start
-    # lanes {0, 64, ...} onto output lanes {16g + i}.
-    sel = np.zeros((group, col_tile, 128), dtype=np.float32)
-    for g in range(group):
-        for i in range(nsub):
-            sel[g, SUBTILE * i, nsub * g + i] = 1.0
-    sel = jnp.asarray(sel)
-
-    out = pl.pallas_call(
-        functools.partial(_subtile_kernel, col_tile=col_tile, group=group),
+    grid = (q_pad // q_block, n_pad // col_tile)
+    out_t = pl.pallas_call(
+        _subtile_kernel_t,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_block, f), lambda qb, t: (qb, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((col_tile, f), lambda qb, t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, col_tile), lambda qb, t: (0, t),
+            pl.BlockSpec((q_block, f), lambda qb, t: (qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_block, 1), lambda qb, t: (qb, 0),
+            pl.BlockSpec((col_tile, 1), lambda qb, t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, col_tile, 128),
-                         lambda qb, t: (t % group, 0, 0),
+            pl.BlockSpec((1, q_block), lambda qb, t: (0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda qb, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((q_block, 128),
-                               lambda qb, t: (qb, t // group),
+        out_specs=pl.BlockSpec((nsub, q_block), lambda qb, t: (t, qb),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((q_pad, n_pad // SUBTILE),
+        out_shape=jax.ShapeDtypeStruct((n_pad // SUBTILE, q_pad),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((q_block, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("parallel", "arbitrary")),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(qn_pad, xu_pad, lam_row, lamq_col,
-      jnp.asarray([tau], dtype=jnp.float32).reshape(1), sel)
-    return out
+    )(xu_pad, qn_pad, lam_col,
+      lamq_row, jnp.asarray(tau, jnp.float32).reshape(1, 1))
+    return out_t.T
 
 
 @functools.partial(jax.jit,
                    static_argnames=("topk", "n_subtiles_keep", "pool_m",
                                     "interpret"))
-def subtile_search(xu_scan: jnp.ndarray, xq: jnp.ndarray,
-                   scales: jnp.ndarray, xu_f32: jnp.ndarray,
+def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
                    lambdas: jnp.ndarray, qn: jnp.ndarray,
                    lam_q: jnp.ndarray, tau, n_real: jnp.ndarray, *,
                    topk: int, n_subtiles_keep: int = 16, pool_m: int = 64,
@@ -153,9 +120,8 @@ def subtile_search(xu_scan: jnp.ndarray, xq: jnp.ndarray,
 
     Args:
       xu_scan: [N_pad, F] scan corpus (bf16 recommended), zero-padded to a
-        SUBTILE-aligned length.
-      xq, scales: int8 corpus + per-row scales (ops/quantize.quantize_rows)
-        for the phase-b rescan, same padding.
+        SUBTILE-aligned length.  Phases a AND b both score against it, so
+        the block-max routing bound is exact in the scan dtype.
       xu_f32: f32 corpus for the exact rescore, same padding.
       lambdas: [N_pad] f32 padded with any value (out-of-range candidates
         are masked by n_real, so the pad value can't be served).
@@ -165,36 +131,39 @@ def subtile_search(xu_scan: jnp.ndarray, xq: jnp.ndarray,
         enough: a padded score (1-tau)/(1+|lam_pad-lam_q|) ~ 0.1 beats real
         blended scores whenever tau*cos goes negative for anti-aligned
         queries — ADVICE r2.)
-    Returns (idx [Q, topk] int32, scores [Q, topk] f32) — f32-exact
-    whenever the true top-k survives the int8 pool (monitor via bench
-    overlap; the subtile selection itself is exact by the block-max
-    bound when n_subtiles_keep >= topk).
+    Returns (idx [Q, topk] int32, scores [Q, topk] f32).  Selection is
+    exact in the scan dtype by the block-max bound (n_subtiles_keep >=
+    topk) — the same guarantee as a full scan at that dtype; served
+    scores are f32-exact over the pool_m-wide rescore pool.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     n_pad, f = xu_scan.shape
     q = qn.shape[0]
     col_tile = 1024
-    if n_pad % (col_tile * (128 // (col_tile // SUBTILE))) != 0:
+    if n_pad % 8192 != 0:
         raise ValueError("corpus must be padded with build_subtile_state "
                          f"(N_pad={n_pad})")
-    q_block = min(512, max(8, 1 << (q - 1).bit_length()))
+    # q_block 1024 halves corpus HBM re-reads vs 512 (one pass serves
+    # 1024 queries); VMEM stays small ([1024, F] bf16 query block).
+    q_block = min(1024, max(8, 1 << (q - 1).bit_length()))
     q_pad = ((q + q_block - 1) // q_block) * q_block
 
     scan_dtype = xu_scan.dtype
-    qn_pad = jnp.pad(qn.astype(scan_dtype), ((0, q_pad - q), (0, 0)))
+    qn_scan = qn.astype(scan_dtype)
+    qn_pad = jnp.pad(qn_scan, ((0, q_pad - q), (0, 0)))
     lamq_pad = jnp.pad(lam_q.astype(jnp.float32), (0, q_pad - q))
-    lam_row = lambdas.astype(jnp.float32).reshape(1, n_pad)
 
-    sub_max = _subtile_pallas(xu_scan, lam_row, qn_pad,
-                              lamq_pad.reshape(q_pad, 1),
-                              jnp.asarray(tau, dtype=jnp.float32),
-                              q_block=q_block, col_tile=col_tile,
-                              interpret=interpret)     # [Q_pad, N_pad/64]
+    lam_col = lambdas.astype(jnp.float32).reshape(n_pad, 1)
+    sub_max = _subtile_pallas_t(xu_scan, lam_col, qn_pad,
+                                lamq_pad.reshape(1, q_pad),
+                                jnp.asarray(tau, dtype=jnp.float32),
+                                q_block=q_block, col_tile=col_tile,
+                                interpret=interpret)    # [Q_pad, N_pad/64]
 
-    # Phases b+c, chunked over queries: the int8 gather peaks at
-    # [qc, S*64, F] bytes per chunk instead of the full batch (a 4096 x
-    # 1024 x 768 one-shot gather OOMs a 16 GB HBM next to the corpus).
+    # Phases b+c, chunked over queries: the block gather peaks at
+    # [qc, S, 64, F] scan-dtype bytes per chunk instead of the full batch
+    # (a 16384 x 16 x 64 x 768 one-shot bf16 gather is 25 GB).
     s_keep = min(n_subtiles_keep, n_pad // SUBTILE)
     n_real = jnp.asarray(n_real, dtype=jnp.int32)
     # Fully-padded subtiles can't route; partially-padded ones are handled
@@ -202,12 +171,21 @@ def subtile_search(xu_scan: jnp.ndarray, xq: jnp.ndarray,
     sub_start = jnp.arange(n_pad // SUBTILE, dtype=jnp.int32) * SUBTILE
     sub_max = jnp.where(sub_start[None, :] < n_real, sub_max[:q], _NEG_INF)
     _, sub_sel = jax.lax.top_k(sub_max, s_keep)         # [Q, S]
-    qL8, q_scale = _quantize_queries(qn)
     tau32 = jnp.asarray(tau, dtype=jnp.float32)
     m_pool = min(pool_m, s_keep * SUBTILE)
     k_out = topk
 
-    qc = min(512, q)
+    # Subtile-blocked views — free reshapes of the resident arrays, so
+    # each selected subtile is gathered as ONE contiguous (64, F) slab
+    # (~96 KB in bf16 at F=768) instead of 64 scattered row gathers.
+    xb = xu_scan.reshape(n_pad // SUBTILE, SUBTILE, f)
+    lamb = lambdas.astype(jnp.float32).reshape(n_pad // SUBTILE, SUBTILE)
+
+    # qc sizes the phase-b gather peak ([qc, S, 64, F] bf16 ~ 1.6 GB at
+    # qc=1024/S=16/F=768).  Fewer, larger chunks matter: the lax.map
+    # steps are SEQUENTIAL, and 32 small steps of gather+einsum cost
+    # ~6x more wall clock than 8 large ones (measured at 1M x 768).
+    qc = min(1024, q)
     q_pad2 = ((q + qc - 1) // qc) * qc
     nc = q_pad2 // qc
 
@@ -215,21 +193,25 @@ def subtile_search(xu_scan: jnp.ndarray, xq: jnp.ndarray,
         return jnp.pad(a, ((0, q_pad2 - q),) + ((0, 0),) * (a.ndim - 1))
 
     def chunk_fn(args):
-        sel_c, q8_c, qs_c, qn_c, lamq_c = args
+        sel_c, qs_c, qn_c, lamq_c = args
+        # Phase b: exact rescan of the selected subtiles in the scan
+        # dtype — same arithmetic as phase a, so the routing bound and
+        # the pool cut are consistent.
+        blocks = xb[sel_c]                          # [qc, S, 64, F]
+        cos_b = jnp.einsum("qf,qsmf->qsm", qs_c, blocks,
+                           preferred_element_type=jnp.float32)
+        cos_b = cos_b.reshape(qc, s_keep * SUBTILE)
+        lam_b = lamb[sel_c].reshape(qc, s_keep * SUBTILE)
+        prox = 1.0 / (1.0 + jnp.abs(lam_b - lamq_c[:, None]))
+        score_b = tau32 * cos_b + (1.0 - tau32) * prox
         cand = (sel_c[:, :, None] * SUBTILE
                 + jnp.arange(SUBTILE, dtype=jnp.int32)[None, None, :])
-        cand = cand.reshape(qc, s_keep * SUBTILE)       # [qc, S*64]
-        xq_c = xq[cand]                                 # [qc, M, F] int8
-        acc = jnp.einsum("qf,qmf->qm", q8_c, xq_c,
-                         preferred_element_type=jnp.int32)
-        cos8 = (acc.astype(jnp.float32) * qs_c[:, None] * scales[cand])
-        prox = 1.0 / (1.0 + jnp.abs(lambdas[cand] - lamq_c[:, None]))
-        score8 = tau32 * cos8 + (1.0 - tau32) * prox
-        score8 = jnp.where(cand < n_real, score8, _NEG_INF)
-        _, pos = jax.lax.top_k(score8, m_pool)
+        cand = cand.reshape(qc, s_keep * SUBTILE)   # [qc, S*64]
+        score_b = jnp.where(cand < n_real, score_b, _NEG_INF)
+        _, pos = jax.lax.top_k(score_b, m_pool)
         pool_idx = jnp.take_along_axis(cand, pos, axis=1)
         # Phase c: exact f32 rescore of the pool.
-        xc = xu_f32[pool_idx]                           # [qc, m, F]
+        xc = xu_f32[pool_idx]                       # [qc, m, F]
         cos = jnp.einsum("qmf,qf->qm", xc, qn_c,
                          preferred_element_type=jnp.float32)
         proxp = 1.0 / (1.0 + jnp.abs(lambdas[pool_idx]
@@ -241,38 +223,25 @@ def subtile_search(xu_scan: jnp.ndarray, xq: jnp.ndarray,
 
     idxs, vals = jax.lax.map(chunk_fn, (
         pad_q(sub_sel).reshape(nc, qc, s_keep),
-        pad_q(qL8).reshape(nc, qc, f),
-        pad_q(q_scale).reshape(nc, qc),
+        pad_q(qn_scan).reshape(nc, qc, f),
         pad_q(qn.astype(jnp.float32)).reshape(nc, qc, f),
         pad_q(lam_q.astype(jnp.float32)).reshape(nc, qc)))
     return (idxs.reshape(q_pad2, k_out)[:q],
             vals.reshape(q_pad2, k_out)[:q])
 
 
-@jax.jit
-def _quantize_queries(qn: jnp.ndarray):
-    x = qn.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    safe = jnp.where(absmax > 0, absmax, 1.0)
-    scale = safe / 127.0
-    q8 = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
-    return q8, scale[..., 0]
-
-
 def build_subtile_state(xu: jnp.ndarray, lambdas: jnp.ndarray,
                         scan_dtype=jnp.bfloat16):
     """Pad + precompute the serving layout for subtile_search.
 
-    Pads N to an 8192 multiple (col_tile 1024 x 8 tiles per 128-lane
-    output block).  Pass n_real through to subtile_search — index-range
-    masking there is what keeps padded rows out of served results (the
-    lambda pad value is only a routing hint)."""
+    Pads N to an 8192 multiple (col_tile 1024 granularity).  Pass n_real
+    through to subtile_search — index-range masking there is what keeps
+    padded rows out of served results (the lambda pad value is only a
+    routing hint)."""
     n, f = xu.shape
     n_pad = ((n + 8191) // 8192) * 8192
     xu32 = jnp.pad(xu.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
     lam = jnp.pad(lambdas.astype(jnp.float32), (0, n_pad - n),
                   constant_values=-2.0)
-    from ..quantize import quantize_rows
-    xq, scales = quantize_rows(xu32)
-    return dict(xu_scan=xu32.astype(scan_dtype), xq=xq, scales=scales,
-                xu_f32=xu32, lambdas=lam, n_real=n)
+    return dict(xu_scan=xu32.astype(scan_dtype), xu_f32=xu32,
+                lambdas=lam, n_real=n)

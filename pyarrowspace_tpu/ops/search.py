@@ -165,6 +165,33 @@ def fused_query_pipeline_quantized(
                               topk=topk)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("topk", "rayleigh_normalized",
+                                    "tau_mix"))
+def fused_query_pipeline_subtile(
+        xu_scan: jnp.ndarray, xu_f32: jnp.ndarray, lambdas_pad: jnp.ndarray,
+        n_real, lap_f: jnp.ndarray, w_f: jnp.ndarray,
+        tau_star: jnp.ndarray, q_batch: jnp.ndarray, tau: jnp.ndarray, *,
+        topk: int, rayleigh_normalized: bool, tau_mix: float):
+    """Highest-QPS serving step: query lambda synthesis + the subtile-max
+    routed scan (ops/pallas/subtile_scan) — one compiled program.  The
+    state arrays come from build_subtile_state; selection is exact in the
+    scan dtype by the block-max bound, scores f32-rescored."""
+    from .pallas.subtile_scan import subtile_search
+    from .rayleigh import dispersion_batch, rayleigh_batch
+    from ..spectral.taumode import synthesize
+
+    e_un = rayleigh_batch(q_batch, lap_f, normalized=False)
+    e_raw = (rayleigh_batch(q_batch, lap_f, normalized=True)
+             if rayleigh_normalized else e_un)
+    g = dispersion_batch(q_batch, w_f, e_un)
+    lam_q = synthesize(e_raw, g, tau_star, tau_mix)
+    qn = unit_normalize(q_batch.astype(jnp.float32), axis=-1)
+    return subtile_search(xu_scan, xu_f32, lambdas_pad, qn,
+                          lam_q.astype(jnp.float32),
+                          tau.astype(jnp.float32), n_real, topk=topk)
+
+
 @functools.partial(jax.jit, static_argnames=("topk",))
 def hybrid_topk_batch(xu: jnp.ndarray, lambdas: jnp.ndarray,
                       q_batch: jnp.ndarray, lam_q: jnp.ndarray,

@@ -228,6 +228,23 @@ def test_search_batch_int8_mode(built):
     assert overlap >= 0.99, overlap
 
 
+def test_search_batch_subtile_mode(built):
+    """mode="subtile" serves the same top-k as exact (block-max bound:
+    selection is exact at the scan dtype; here the corpus is small enough
+    that every subtile fits the routed pool)."""
+    aspace, gl, items = built
+    rng = np.random.default_rng(37)
+    queries = items[rng.choice(items.shape[0], 8, replace=False)] * 0.99
+    ei, ev = aspace.search_batch(queries, gl, 0.62)
+    si, sv = aspace.search_batch(queries, gl, 0.62, mode="subtile")
+    overlap = np.mean([len(set(ei[r]) & set(si[r])) / ei.shape[1]
+                       for r in range(8)])
+    assert overlap >= 0.99, overlap
+    same = ei == si
+    np.testing.assert_allclose(np.asarray(ev)[same], np.asarray(sv)[same],
+                               rtol=2e-5)
+
+
 def test_search_batch_rejects_unknown_mode(built):
     aspace, gl, items = built
     with pytest.raises(ValueError, match="unknown search mode"):

@@ -31,8 +31,8 @@ def test_subtile_matches_exact(state):
     qn = qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
     lam_q = jnp.asarray(rng.uniform(0.05, 0.3, q).astype(np.float32))
     tau = jnp.float32(0.62)
-    idx_s, val_s = subtile_search(st["xu_scan"], st["xq"], st["scales"],
-                                  st["xu_f32"], st["lambdas"],
+    idx_s, val_s = subtile_search(st["xu_scan"], st["xu_f32"],
+                                  st["lambdas"],
                                   qn, lam_q, tau, st["n_real"], topk=10,
                                   n_subtiles_keep=16, pool_m=64)
     idx_e, val_e = lambda_aware_topk_batch(
@@ -51,7 +51,7 @@ def test_subtile_pad_guard(state):
     st, xu, lam, rng = state
     qn = jnp.zeros((4, xu.shape[1]), jnp.float32)
     with pytest.raises(ValueError, match="padded"):
-        subtile_search(xu.astype(jnp.float32), st["xq"], st["scales"],
+        subtile_search(xu.astype(jnp.float32),
                        st["xu_f32"], st["lambdas"], qn,
                        jnp.zeros((4,), jnp.float32), 0.62, st["n_real"],
                        topk=5)
@@ -75,7 +75,7 @@ def test_subtile_never_serves_padding():
     st = build_subtile_state(xu, lam, scan_dtype=jnp.float32)
     qn = unit_normalize(jnp.asarray(-direction[None, :].repeat(8, 0)))
     lam_q = jnp.full((8,), 0.1, jnp.float32)
-    idx, vals = subtile_search(st["xu_scan"], st["xq"], st["scales"],
+    idx, vals = subtile_search(st["xu_scan"],
                                st["xu_f32"], st["lambdas"], qn, lam_q,
                                jnp.float32(0.62), st["n_real"], topk=10)
     assert int(np.asarray(idx).max()) < n, np.asarray(idx).max()
