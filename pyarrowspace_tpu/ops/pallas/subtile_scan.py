@@ -46,7 +46,8 @@ SUBTILE = 64          # items per subtile (block-max granularity)
 _NEG_INF = -3.0e38
 
 
-def _subtile_kernel_t(xu_ref, qn_ref, lam_ref, lamq_ref, tau_ref, out_ref):
+def _subtile_kernel_t(xu_ref, qn_ref, lam_ref, lamq_ref, tau_ref, out_ref,
+                      sup_ref):
     """Transposed phase-a step: corpus items on SUBLANES.
 
     scores^T [T, Qb] = xu_tile @ qn^T puts each 64-item subtile on 64
@@ -68,20 +69,26 @@ def _subtile_kernel_t(xu_ref, qn_ref, lam_ref, lamq_ref, tau_ref, out_ref):
     prox = 1.0 / (1.0 + jnp.abs(lam_ref[:] - lamq_ref[0:1, :]))
     score = tau * acc + (1.0 - tau) * prox
     nsub = score.shape[0] // SUBTILE
-    out_ref[:] = jnp.max(score.reshape(nsub, SUBTILE, score.shape[1]),
-                         axis=1)
+    sm = jnp.max(score.reshape(nsub, SUBTILE, score.shape[1]), axis=1)
+    out_ref[:] = sm
+    # Tile max (the supertile level of the two-level top-S select).
+    sup_ref[:] = jnp.max(sm, axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("q_block", "col_tile",
                                              "interpret"))
 def _subtile_pallas_t(xu_pad, lam_col, qn_pad, lamq_row, tau, *, q_block,
                       col_tile, interpret=False):
-    """Transposed subtile-max scan: returns sub_max [Q_pad, N_pad/64]."""
+    """Transposed subtile-max scan.
+
+    Returns (sub_max [Q_pad, N_pad/64], sup_max [Q_pad, N_pad/col_tile]):
+    per-64-item subtile maxima plus per-tile (supertile) maxima for the
+    two-level top-S select."""
     n_pad, f = xu_pad.shape
     q_pad = qn_pad.shape[0]
     nsub = col_tile // SUBTILE
     grid = (q_pad // q_block, n_pad // col_tile)
-    out_t = pl.pallas_call(
+    out_t, sup_t = pl.pallas_call(
         _subtile_kernel_t,
         grid=grid,
         in_specs=[
@@ -96,16 +103,22 @@ def _subtile_pallas_t(xu_pad, lam_col, qn_pad, lamq_row, tau, *, q_block,
             pl.BlockSpec((1, 1), lambda qb, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nsub, q_block), lambda qb, t: (t, qb),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad // SUBTILE, q_pad),
-                                       jnp.float32),
+        out_specs=[
+            pl.BlockSpec((nsub, q_block), lambda qb, t: (t, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_block), lambda qb, t: (t, qb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad // SUBTILE, q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // col_tile, q_pad), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xu_pad, qn_pad, lam_col,
       lamq_row, jnp.asarray(tau, jnp.float32).reshape(1, 1))
-    return out_t.T
+    return out_t.T, sup_t.T
 
 
 @functools.partial(jax.jit,
@@ -155,22 +168,43 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     lamq_pad = jnp.pad(lam_q.astype(jnp.float32), (0, q_pad - q))
 
     lam_col = lambdas.astype(jnp.float32).reshape(n_pad, 1)
-    sub_max = _subtile_pallas_t(xu_scan, lam_col, qn_pad,
-                                lamq_pad.reshape(1, q_pad),
-                                jnp.asarray(tau, dtype=jnp.float32),
-                                q_block=q_block, col_tile=col_tile,
-                                interpret=interpret)    # [Q_pad, N_pad/64]
+    sub_max, sup_max = _subtile_pallas_t(
+        xu_scan, lam_col, qn_pad, lamq_pad.reshape(1, q_pad),
+        jnp.asarray(tau, dtype=jnp.float32), q_block=q_block,
+        col_tile=col_tile, interpret=interpret)  # [Q, N/64], [Q, N/1024]
 
-    # Phases b+c, chunked over queries: the block gather peaks at
-    # [qc, S, 64, F] scan-dtype bytes per chunk instead of the full batch
-    # (a 16384 x 16 x 64 x 768 one-shot bf16 gather is 25 GB).
     s_keep = min(n_subtiles_keep, n_pad // SUBTILE)
     n_real = jnp.asarray(n_real, dtype=jnp.int32)
     # Fully-padded subtiles can't route; partially-padded ones are handled
     # by the per-candidate masks below.
     sub_start = jnp.arange(n_pad // SUBTILE, dtype=jnp.int32) * SUBTILE
     sub_max = jnp.where(sub_start[None, :] < n_real, sub_max[:q], _NEG_INF)
-    _, sub_sel = jax.lax.top_k(sub_max, s_keep)         # [Q, S]
+
+    # Two-level top-S: if >= s_keep supertiles had max above item i's
+    # score, each would contain a distinct better item — so the top-S
+    # supertiles contain the top-S subtiles (same block-max argument one
+    # level up).  top_k over [Q, N/1024] + a 256-wide refine is ~16x
+    # cheaper than top_k over [Q, N/64].
+    group = col_tile // SUBTILE
+    n_tiles = n_pad // col_tile
+    sup_keep = min(s_keep, n_tiles)
+    if sup_keep * group >= s_keep and n_tiles > sup_keep:
+        sup_start = jnp.arange(n_tiles, dtype=jnp.int32) * col_tile
+        sup_max = jnp.where(sup_start[None, :] < n_real, sup_max[:q],
+                            _NEG_INF)
+        _, sup_sel = jax.lax.top_k(sup_max, sup_keep)   # [Q, S]
+        cand_sub = (sup_sel[:, :, None] * group
+                    + jnp.arange(group, dtype=jnp.int32)[None, None, :])
+        cand_sub = cand_sub.reshape(q, sup_keep * group)
+        sub_vals = jnp.take_along_axis(sub_max, cand_sub, axis=1)
+        _, pos_s = jax.lax.top_k(sub_vals, s_keep)
+        sub_sel = jnp.take_along_axis(cand_sub, pos_s, axis=1)
+    else:
+        _, sub_sel = jax.lax.top_k(sub_max, s_keep)     # [Q, S]
+
+    # Phases b+c, chunked over queries: the block gather peaks at
+    # [qc, S, 64, F] scan-dtype bytes per chunk instead of the full batch
+    # (a 16384 x 16 x 64 x 768 one-shot bf16 gather is 25 GB).
     tau32 = jnp.asarray(tau, dtype=jnp.float32)
     m_pool = min(pool_m, s_keep * SUBTILE)
     k_out = topk

@@ -57,6 +57,34 @@ def test_subtile_pad_guard(state):
                        topk=5)
 
 
+def test_subtile_two_level_select_matches_exact():
+    """Corpus large enough (n_tiles > s_keep) to route through the
+    two-level supertile select; top-k must still match the exact scan."""
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas.subtile_scan import (
+        build_subtile_state, subtile_search)
+    from pyarrowspace_tpu.ops.search import lambda_aware_topk_batch
+    rng = np.random.default_rng(11)
+    n, f, q = 20000, 32, 32
+    xu = unit_normalize(jnp.asarray(
+        rng.standard_normal((n, f), dtype=np.float32)))
+    lam = jnp.asarray(rng.uniform(0.05, 0.3, n).astype(np.float32))
+    st = build_subtile_state(xu, lam, scan_dtype=jnp.float32)
+    assert st["xu_scan"].shape[0] // 1024 > 16  # two-level branch taken
+    qn = jnp.asarray(rng.standard_normal((q, f), dtype=np.float32))
+    qn = qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
+    lam_q = jnp.asarray(rng.uniform(0.05, 0.3, q).astype(np.float32))
+    idx_s, val_s = subtile_search(st["xu_scan"], st["xu_f32"],
+                                  st["lambdas"], qn, lam_q,
+                                  jnp.float32(0.62), st["n_real"], topk=10)
+    idx_e, _ = lambda_aware_topk_batch(xu, lam, qn, lam_q,
+                                       jnp.float32(0.62), 10)
+    ie, isb = np.asarray(idx_e), np.asarray(idx_s)
+    overlap = np.mean([len(set(ie[i]) & set(isb[i])) / 10.0
+                       for i in range(q)])
+    assert overlap >= 0.99, overlap
+
+
 def test_subtile_never_serves_padding():
     """ADVICE r2 regression: anti-aligned queries on a clustered corpus
     make every real blended score negative (tau*cos < 0 dominates), while
