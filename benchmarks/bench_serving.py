@@ -125,6 +125,32 @@ def main():
                              / k_ov for i in range(q_batch)]))
     print(f"int8+rescore top-{k_ov} overlap vs exact f32: {overlap:.4f}")
 
+    # Subtile-routed scan (block-max exact at the scan dtype; the
+    # headline serving mode at large N).
+    from pyarrowspace_tpu.ops.pallas.subtile_scan import build_subtile_state
+    from pyarrowspace_tpu.ops.search import fused_query_pipeline_subtile
+    del xq, scales
+    st = build_subtile_state(xu, lam32, scan_dtype=jnp.bfloat16)
+    st["xu_scan"].block_until_ready()
+    sargs = dict(topk=topk, rayleigh_normalized=False, tau_mix=TAU_MIX)
+    warm = fused_query_pipeline_subtile(
+        st["xu_scan"], st["xu_f32"], st["lambdas"], st["n_real"],
+        lap_f, w_f, ts, query_batches[-1], tau, **sargs)
+    _ = np.asarray(warm[0])
+    t0 = time.perf_counter()
+    outs_s = [fused_query_pipeline_subtile(
+                  st["xu_scan"], st["xu_f32"], st["lambdas"], st["n_real"],
+                  lap_f, w_f, ts, qb, tau, **sargs)
+              for qb in query_batches]
+    _ = [int(np.asarray(o[0])[0, 0]) for o in outs_s]
+    dt = time.perf_counter() - t0
+    print(f"subtile bf16 (exact-routed): {q_batch * reps / dt:,.0f} QPS  "
+          f"({dt / reps * 1000:.1f} ms/batch of {q_batch})")
+    isb = np.asarray(outs_s[0][0])
+    ov_s = float(np.mean([len(set(ie[i][:k_ov]) & set(isb[i][:k_ov]))
+                          / k_ov for i in range(q_batch)]))
+    print(f"subtile top-{k_ov} overlap vs exact f32: {ov_s:.4f}")
+
     # IVF mode (opt-in): the current gather-based IVF materializes
     # [Qb, n_probe*cap, F] candidates, which is fine up to ~100k items but
     # needs a cluster-contiguous corpus layout at 1M scale (planned).

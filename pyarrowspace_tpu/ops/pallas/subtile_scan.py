@@ -36,18 +36,23 @@ exact for 2x the gather bytes, still contiguous-DMA cheap).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SUBTILE = 64          # items per subtile (block-max granularity)
+# Items per subtile (block-max granularity).  Smaller W halves the
+# phase-b DMA bytes (S >= topk subtiles regardless of W) but doubles the
+# sub_max matrix the phase-a kernel writes; 64 measured best at 1M x 768.
+# Import-time env override for A/B only — not a per-call knob because the
+# serving state layout depends on it.
+SUBTILE = int(os.environ.get("ARROWSPACE_SUBTILE_W", "64"))
 _NEG_INF = -3.0e38
 
 
-def _subtile_kernel_t(xu_ref, qn_ref, lam_ref, lamq_ref, tau_ref, out_ref,
-                      sup_ref):
+def _subtile_kernel_t(xu_ref, qn_ref, lam_ref, lamq_ref, tau_ref, out_ref):
     """Transposed phase-a step: corpus items on SUBLANES.
 
     scores^T [T, Qb] = xu_tile @ qn^T puts each 64-item subtile on 64
@@ -69,10 +74,8 @@ def _subtile_kernel_t(xu_ref, qn_ref, lam_ref, lamq_ref, tau_ref, out_ref,
     prox = 1.0 / (1.0 + jnp.abs(lam_ref[:] - lamq_ref[0:1, :]))
     score = tau * acc + (1.0 - tau) * prox
     nsub = score.shape[0] // SUBTILE
-    sm = jnp.max(score.reshape(nsub, SUBTILE, score.shape[1]), axis=1)
-    out_ref[:] = sm
-    # Tile max (the supertile level of the two-level top-S select).
-    sup_ref[:] = jnp.max(sm, axis=0, keepdims=True)
+    out_ref[:] = jnp.max(score.reshape(nsub, SUBTILE, score.shape[1]),
+                         axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("q_block", "col_tile",
@@ -88,7 +91,7 @@ def _subtile_pallas_t(xu_pad, lam_col, qn_pad, lamq_row, tau, *, q_block,
     q_pad = qn_pad.shape[0]
     nsub = col_tile // SUBTILE
     grid = (q_pad // q_block, n_pad // col_tile)
-    out_t, sup_t = pl.pallas_call(
+    out_t = pl.pallas_call(
         _subtile_kernel_t,
         grid=grid,
         in_specs=[
@@ -103,22 +106,88 @@ def _subtile_pallas_t(xu_pad, lam_col, qn_pad, lamq_row, tau, *, q_block,
             pl.BlockSpec((1, 1), lambda qb, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((nsub, q_block), lambda qb, t: (t, qb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_block), lambda qb, t: (t, qb),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad // SUBTILE, q_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad // col_tile, q_pad), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((nsub, q_block), lambda qb, t: (t, qb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad // SUBTILE, q_pad),
+                                       jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xu_pad, qn_pad, lam_col,
       lamq_row, jnp.asarray(tau, jnp.float32).reshape(1, 1))
+    # Supertile (per-tile) maxima for the two-level top-S select, reduced
+    # in the pre-transpose layout so XLA folds it into one pass.
+    sup_t = jnp.max(out_t.reshape(n_pad // col_tile, nsub, q_pad), axis=1)
     return out_t.T, sup_t.T
+
+
+def _gather_score_kernel(sel_ref, qn_ref, *refs):
+    """Per-query fused subtile gather + dot: refs = S aliased views of the
+    subtile-blocked corpus (each step DMAs exactly this query's s-th
+    selected block via the scalar-prefetched index map) + the out ref.
+
+    The lambda-proximity blend deliberately stays OUTSIDE (an XLA gather
+    over the blocked lambdas): blending in-kernel needs S extra ~256 B
+    DMAs per step whose overhead cancels the saved gather (measured flat
+    at 1M x 768) and inflates the Mosaic compile 6x."""
+    out_ref = refs[-1]
+    qn = qn_ref[0]                               # [1, F]
+    for s, b in enumerate(refs[:-1]):
+        acc = jax.lax.dot_general(qn, b[0], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        w = b.shape[1]
+        out_ref[0, :, s * w:(s + 1) * w] = acc   # [1, W]
+
+
+@functools.partial(jax.jit, static_argnames=("s_keep", "interpret"))
+def _gather_score_pallas(xb3, qn3, sel, *, s_keep, interpret=False):
+    """cos [Q, s_keep * W] = each query's dot against its selected
+    subtile blocks, streamed by the Pallas pipeline (one ~96 KB
+    contiguous DMA per block, no [Q, S, W, F] materialization).
+
+    The selection table is a scalar-prefetch operand and lives in SMEM
+    (~1 MB on v5e): it is passed FLAT (a [qc*S] row — 2-D tables get
+    lane-padded 8x) and the call is chunked over queries so each chunk's
+    table stays a few hundred KB."""
+    n_sub, w, f = xb3.shape
+    q = qn3.shape[0]
+    qc = min(q, 4096)
+
+    def one_chunk(qn_c, sel_c, nq):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nq,),
+            in_specs=[
+                pl.BlockSpec((1, 1, f), lambda i, sel: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec((1, w, f),
+                             lambda i, sel, s=s: (sel[i * s_keep + s],
+                                                  0, 0),
+                             memory_space=pltpu.VMEM)
+                for s in range(s_keep)
+            ],
+            out_specs=pl.BlockSpec((1, 1, s_keep * w),
+                                   lambda i, sel: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            _gather_score_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nq, 1, s_keep * w),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+            if not interpret else None,
+            interpret=interpret,
+        )(sel_c.reshape(-1), qn_c, *([xb3] * s_keep))
+
+    outs = []
+    for s0 in range(0, q, qc):
+        nq = min(qc, q - s0)
+        outs.append(one_chunk(qn3[s0:s0 + nq], sel[s0:s0 + nq], nq))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out.reshape(q, s_keep * w)
 
 
 @functools.partial(jax.jit,
@@ -127,7 +196,8 @@ def _subtile_pallas_t(xu_pad, lam_col, qn_pad, lamq_row, tau, *, q_block,
 def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
                    lambdas: jnp.ndarray, qn: jnp.ndarray,
                    lam_q: jnp.ndarray, tau, n_real: jnp.ndarray, *,
-                   topk: int, n_subtiles_keep: int = 16, pool_m: int = 64,
+                   topk: int, n_subtiles_keep: int = 16,
+                   pool_m: int | None = None,
                    interpret: bool | None = None):
     """Full subtile-routed serving step (phases a+b+c).
 
@@ -144,10 +214,12 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
         enough: a padded score (1-tau)/(1+|lam_pad-lam_q|) ~ 0.1 beats real
         blended scores whenever tau*cos goes negative for anti-aligned
         queries — ADVICE r2.)
-    Returns (idx [Q, topk] int32, scores [Q, topk] f32).  Selection is
-    exact in the scan dtype by the block-max bound (n_subtiles_keep >=
-    topk) — the same guarantee as a full scan at that dtype; served
-    scores are f32-exact over the pool_m-wide rescore pool.
+      pool_m: width of the f32-rescore pool (default: topk).  Selection
+        is already exact in the scan dtype by the block-max bound
+        (n_subtiles_keep >= topk); a wider pool additionally lets the
+        f32 rescore promote items past scan-dtype near-ties.
+    Returns (idx [Q, topk] int32, scores [Q, topk] f32) — the same
+    top-k guarantee as a full scan at the scan dtype, scores f32-exact.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -202,66 +274,60 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     else:
         _, sub_sel = jax.lax.top_k(sub_max, s_keep)     # [Q, S]
 
-    # Phases b+c, chunked over queries: the block gather peaks at
-    # [qc, S, 64, F] scan-dtype bytes per chunk instead of the full batch
-    # (a 16384 x 16 x 64 x 768 one-shot bf16 gather is 25 GB).
     tau32 = jnp.asarray(tau, dtype=jnp.float32)
-    m_pool = min(pool_m, s_keep * SUBTILE)
+    m_pool = min(pool_m if pool_m is not None else topk,
+                 s_keep * SUBTILE)
+    m_pool = max(m_pool, min(topk, s_keep * SUBTILE))
     k_out = topk
 
-    # Subtile-blocked views — free reshapes of the resident arrays, so
-    # each selected subtile is gathered as ONE contiguous (64, F) slab
-    # (~96 KB in bf16 at F=768) instead of 64 scattered row gathers.
-    xb = xu_scan.reshape(n_pad // SUBTILE, SUBTILE, f)
-    lamb = lambdas.astype(jnp.float32).reshape(n_pad // SUBTILE, SUBTILE)
+    # Phase b: fused gather+dot Pallas kernel -- each query's selected
+    # subtiles stream through VMEM as ~96 KB contiguous DMAs with the dot
+    # applied in place; nothing [Q, S, W, F]-sized ever materializes.
+    # (XLA formulations of this stage measured 220-400 ms at 1M x 768:
+    # a batched-matvec dot relayouts the gathered blocks first, an
+    # elementwise multiply+lane-reduce casts them to f32 first.)
+    xb3 = xu_scan.reshape(n_pad // SUBTILE, SUBTILE, f)
+    cos_b = _gather_score_pallas(xb3, qn_scan.reshape(q_pad, 1, f)[:q],
+                                 sub_sel, s_keep=s_keep,
+                                 interpret=interpret)   # [Q, S*W]
+    cand = (sub_sel[:, :, None] * SUBTILE
+            + jnp.arange(SUBTILE, dtype=jnp.int32)[None, None, :])
+    cand = cand.reshape(q, s_keep * SUBTILE)            # [Q, S*W]
+    lam32 = lambdas.astype(jnp.float32)
+    lamq32 = lam_q.astype(jnp.float32)
+    lam_b = lam32.reshape(n_pad // SUBTILE,
+                          SUBTILE)[sub_sel].reshape(q, s_keep * SUBTILE)
+    prox = 1.0 / (1.0 + jnp.abs(lam_b - lamq32[:, None]))
+    score_b = tau32 * cos_b + (1.0 - tau32) * prox
+    score_b = jnp.where(cand < n_real, score_b, _NEG_INF)
 
-    # qc sizes the phase-b gather peak ([qc, S, 64, F] bf16 ~ 1.6 GB at
-    # qc=1024/S=16/F=768).  Fewer, larger chunks matter: the lax.map
-    # steps are SEQUENTIAL, and 32 small steps of gather+einsum cost
-    # ~6x more wall clock than 8 large ones (measured at 1M x 768).
-    qc = min(1024, q)
-    q_pad2 = ((q + qc - 1) // qc) * qc
-    nc = q_pad2 // qc
-
-    def pad_q(a):
-        return jnp.pad(a, ((0, q_pad2 - q),) + ((0, 0),) * (a.ndim - 1))
-
-    def chunk_fn(args):
-        sel_c, qs_c, qn_c, lamq_c = args
-        # Phase b: exact rescan of the selected subtiles in the scan
-        # dtype — same arithmetic as phase a, so the routing bound and
-        # the pool cut are consistent.
-        blocks = xb[sel_c]                          # [qc, S, 64, F]
-        cos_b = jnp.einsum("qf,qsmf->qsm", qs_c, blocks,
-                           preferred_element_type=jnp.float32)
-        cos_b = cos_b.reshape(qc, s_keep * SUBTILE)
-        lam_b = lamb[sel_c].reshape(qc, s_keep * SUBTILE)
-        prox = 1.0 / (1.0 + jnp.abs(lam_b - lamq_c[:, None]))
-        score_b = tau32 * cos_b + (1.0 - tau32) * prox
-        cand = (sel_c[:, :, None] * SUBTILE
-                + jnp.arange(SUBTILE, dtype=jnp.int32)[None, None, :])
-        cand = cand.reshape(qc, s_keep * SUBTILE)   # [qc, S*64]
-        score_b = jnp.where(cand < n_real, score_b, _NEG_INF)
+    # Pool cut: sequential max-extraction beats a sort-based top_k up to
+    # several dozen extractions (measured: 17 ms for 15 vs 61 ms for
+    # top_k(64) at Q=16384).
+    if m_pool <= 32:
+        def step(sc, _):
+            a = jnp.argmax(sc, axis=1)
+            hit = (jnp.arange(sc.shape[1], dtype=jnp.int32)[None, :]
+                   == a[:, None])
+            nxt = jnp.where(hit, _NEG_INF, sc)
+            picked = jnp.take_along_axis(cand, a[:, None], 1)[:, 0]
+            return nxt, picked
+        _, picked = jax.lax.scan(step, score_b, None, length=m_pool)
+        pool_idx = picked.T                             # [Q, m_pool]
+    else:
         _, pos = jax.lax.top_k(score_b, m_pool)
         pool_idx = jnp.take_along_axis(cand, pos, axis=1)
-        # Phase c: exact f32 rescore of the pool.
-        xc = xu_f32[pool_idx]                       # [qc, m, F]
-        cos = jnp.einsum("qmf,qf->qm", xc, qn_c,
-                         preferred_element_type=jnp.float32)
-        proxp = 1.0 / (1.0 + jnp.abs(lambdas[pool_idx]
-                                     - lamq_c[:, None]))
-        s = tau32 * cos + (1.0 - tau32) * proxp
-        s = jnp.where(pool_idx < n_real, s, _NEG_INF)
-        vals, posk = jax.lax.top_k(s, k_out)
-        return jnp.take_along_axis(pool_idx, posk, axis=1), vals
 
-    idxs, vals = jax.lax.map(chunk_fn, (
-        pad_q(sub_sel).reshape(nc, qc, s_keep),
-        pad_q(qn_scan).reshape(nc, qc, f),
-        pad_q(qn.astype(jnp.float32)).reshape(nc, qc, f),
-        pad_q(lam_q.astype(jnp.float32)).reshape(nc, qc)))
-    return (idxs.reshape(q_pad2, k_out)[:q],
-            vals.reshape(q_pad2, k_out)[:q])
+    # Phase c: exact f32 rescore of the pool (m_pool rows per query).
+    qn32 = qn.astype(jnp.float32)
+    xc = xu_f32[pool_idx]                               # [Q, m, F]
+    cos = jnp.einsum("qmf,qf->qm", xc, qn32,
+                     preferred_element_type=jnp.float32)
+    proxp = 1.0 / (1.0 + jnp.abs(lam32[pool_idx] - lamq32[:, None]))
+    s = tau32 * cos + (1.0 - tau32) * proxp
+    s = jnp.where(pool_idx < n_real, s, _NEG_INF)
+    vals, posk = jax.lax.top_k(s, k_out)
+    return jnp.take_along_axis(pool_idx, posk, axis=1), vals
 
 
 def build_subtile_state(xu: jnp.ndarray, lambdas: jnp.ndarray,

@@ -187,9 +187,13 @@ def fused_query_pipeline_subtile(
     g = dispersion_batch(q_batch, w_f, e_un)
     lam_q = synthesize(e_raw, g, tau_star, tau_mix)
     qn = unit_normalize(q_batch.astype(jnp.float32), axis=-1)
+    # pool 2x topk: the f32 rescore can promote items past bf16
+    # near-ties (keeps served top-k aligned with the exact f32 scan)
+    # while the pool cut stays in the cheap scan-extraction regime.
     return subtile_search(xu_scan, xu_f32, lambdas_pad, qn,
                           lam_q.astype(jnp.float32),
-                          tau.astype(jnp.float32), n_real, topk=topk)
+                          tau.astype(jnp.float32), n_real, topk=topk,
+                          pool_m=2 * topk)
 
 
 @functools.partial(jax.jit, static_argnames=("topk",))
