@@ -190,6 +190,53 @@ def _gather_score_pallas(xb3, qn3, sel, *, s_keep, interpret=False):
     return out.reshape(q, s_keep * w)
 
 
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _extract_kernel(score_ref, cand_ref, out_ref, *, m_pool: int):
+    """Sequential max-extraction of the pool, VMEM-resident: m_pool
+    iterations of lane-max + min-id tiebreak + mask, with no HBM
+    round-trips between iterations (the XLA lax.scan form pays one per
+    extraction)."""
+    sc = score_ref[:]                            # [B, M]
+    cand = cand_ref[:]                           # [B, M]
+    for j in range(m_pool):
+        m = jnp.max(sc, axis=1, keepdims=True)
+        hit = sc == m
+        sel = jnp.min(jnp.where(hit, cand, _INT_MAX), axis=1,
+                      keepdims=True)
+        out_ref[:, j:j + 1] = sel
+        sc = jnp.where(cand == sel, _NEG_INF, sc)
+
+
+@functools.partial(jax.jit, static_argnames=("m_pool", "interpret"))
+def _extract_pool_pallas(score_b, cand, *, m_pool, interpret=False):
+    """pool_idx [Q, m_pool] = per-query top-m_pool candidate ids."""
+    q, m = score_b.shape
+    qb = min(q, 512)
+    q_pad = ((q + qb - 1) // qb) * qb
+    sc = jnp.pad(score_b, ((0, q_pad - q), (0, 0)),
+                 constant_values=_NEG_INF)
+    cd = jnp.pad(cand, ((0, q_pad - q), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_extract_kernel, m_pool=m_pool),
+        grid=(q_pad // qb,),
+        in_specs=[
+            pl.BlockSpec((qb, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qb, m_pool), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q_pad, m_pool), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None,
+        interpret=interpret,
+    )(sc, cd)
+    return out[:q]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("topk", "n_subtiles_keep", "pool_m",
                                     "interpret"))
@@ -264,15 +311,26 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
         sup_start = jnp.arange(n_tiles, dtype=jnp.int32) * col_tile
         sup_max = jnp.where(sup_start[None, :] < n_real, sup_max[:q],
                             _NEG_INF)
-        _, sup_sel = jax.lax.top_k(sup_max, sup_keep)   # [Q, S]
+        # Both selection stages use the VMEM-resident extract kernel: a
+        # sort-based lax.top_k at [Q, 1024] costs ~60 ms at Q=16384.
+        tile_ids = jnp.broadcast_to(
+            jnp.arange(n_tiles, dtype=jnp.int32)[None, :], (q, n_tiles))
+        sup_sel = _extract_pool_pallas(sup_max, tile_ids,
+                                       m_pool=sup_keep,
+                                       interpret=interpret)  # [Q, S]
         cand_sub = (sup_sel[:, :, None] * group
                     + jnp.arange(group, dtype=jnp.int32)[None, None, :])
         cand_sub = cand_sub.reshape(q, sup_keep * group)
         sub_vals = jnp.take_along_axis(sub_max, cand_sub, axis=1)
-        _, pos_s = jax.lax.top_k(sub_vals, s_keep)
-        sub_sel = jnp.take_along_axis(cand_sub, pos_s, axis=1)
+        sub_sel = _extract_pool_pallas(sub_vals, cand_sub, m_pool=s_keep,
+                                       interpret=interpret)
     else:
-        _, sub_sel = jax.lax.top_k(sub_max, s_keep)     # [Q, S]
+        # Small corpora only (n_sub <= sup_keep * group = 256).
+        sub_ids = jnp.broadcast_to(
+            jnp.arange(n_pad // SUBTILE, dtype=jnp.int32)[None, :],
+            sub_max.shape)
+        sub_sel = _extract_pool_pallas(sub_max, sub_ids, m_pool=s_keep,
+                                       interpret=interpret)
 
     tau32 = jnp.asarray(tau, dtype=jnp.float32)
     m_pool = min(pool_m if pool_m is not None else topk,
@@ -301,19 +359,13 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     score_b = tau32 * cos_b + (1.0 - tau32) * prox
     score_b = jnp.where(cand < n_real, score_b, _NEG_INF)
 
-    # Pool cut: sequential max-extraction beats a sort-based top_k up to
-    # several dozen extractions (measured: 17 ms for 15 vs 61 ms for
-    # top_k(64) at Q=16384).
-    if m_pool <= 32:
-        def step(sc, _):
-            a = jnp.argmax(sc, axis=1)
-            hit = (jnp.arange(sc.shape[1], dtype=jnp.int32)[None, :]
-                   == a[:, None])
-            nxt = jnp.where(hit, _NEG_INF, sc)
-            picked = jnp.take_along_axis(cand, a[:, None], 1)[:, 0]
-            return nxt, picked
-        _, picked = jax.lax.scan(step, score_b, None, length=m_pool)
-        pool_idx = picked.T                             # [Q, m_pool]
+    # Pool cut: VMEM-resident sequential max-extraction (Pallas) beats a
+    # sort-based top_k up to several dozen extractions — the XLA scan
+    # form already measured 17 ms for 15 vs 61 ms for top_k(64) at
+    # Q=16384, and the kernel removes the per-iteration HBM round-trip.
+    if m_pool <= 48:
+        pool_idx = _extract_pool_pallas(score_b, cand, m_pool=m_pool,
+                                        interpret=interpret)
     else:
         _, pos = jax.lax.top_k(score_b, m_pool)
         pool_idx = jnp.take_along_axis(cand, pos, axis=1)
