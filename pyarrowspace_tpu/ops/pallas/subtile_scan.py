@@ -278,7 +278,9 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
                          f"(N_pad={n_pad})")
     # q_block 1024 halves corpus HBM re-reads vs 512 (one pass serves
     # 1024 queries); VMEM stays small ([1024, F] bf16 query block).
-    q_block = min(1024, max(8, 1 << (q - 1).bit_length()))
+    # q_block 2048 quarters corpus HBM re-reads vs 512; measured 152 vs
+    # 156 ms (q_block 1024) for phase-a at 1M x 768 x Q16384.
+    q_block = min(2048, max(8, 1 << (q - 1).bit_length()))
     q_pad = ((q + q_block - 1) // q_block) * q_block
 
     scan_dtype = xu_scan.dtype
