@@ -347,7 +347,7 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     # a batched-matvec dot relayouts the gathered blocks first, an
     # elementwise multiply+lane-reduce casts them to f32 first.)
     xb3 = xu_scan.reshape(n_pad // SUBTILE, SUBTILE, f)
-    cos_b = _gather_score_pallas(xb3, qn_scan.reshape(q_pad, 1, f)[:q],
+    cos_b = _gather_score_pallas(xb3, qn_scan.reshape(q, 1, f),
                                  sub_sel, s_keep=s_keep,
                                  interpret=interpret)   # [Q, S*W]
     cand = (sub_sel[:, :, None] * SUBTILE

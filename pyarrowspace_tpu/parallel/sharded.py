@@ -450,6 +450,51 @@ def _sharded_search_energy(lambdas_pad, e_pad, q, lap_f, w_f, tau_star,
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "mesh", "tau_mix",
+                                             "rayleigh_normalized",
+                                             "n_real"))
+def _sharded_search_subtile(xs_pad, xf_pad, lam_pad, q, lap_f, w_f,
+                            tau_star, tau, *, topk, mesh, tau_mix,
+                            rayleigh_normalized, n_real):
+    """Sharded subtile-routed serving: per-shard block-max routed scan
+    (ops/pallas/subtile_scan, exact at the scan dtype) + all_gather
+    top-k merge — the >100k-QPS multi-chip path (per-chip measured
+    56.3k at 1M x 768; the merge traffic is d*topk candidates)."""
+    from ..ops.pallas.subtile_scan import subtile_search
+
+    def body(xs, xf, ll, qb, lap, wf, ts, tt):
+        e_un = rayleigh_batch(qb, lap, normalized=False)
+        e = (rayleigh_batch(qb, lap, normalized=True)
+             if rayleigh_normalized else e_un)
+        g = dispersion_batch(qb, wf, e_un)
+        lq = synthesize(e, g, ts, tau_mix).astype(jnp.float32)
+        qn = unit_normalize(qb.astype(jnp.float32), axis=-1)
+        n_loc = xs.shape[0]
+        my = jax.lax.axis_index(DATA_AXIS)
+        local_real = jnp.clip(n_real - my * n_loc, 0, n_loc)
+        idx, vals = subtile_search(xs, xf, ll, qn, lq,
+                                   tt.astype(jnp.float32), local_real,
+                                   topk=topk, pool_m=2 * topk)
+        gidx = (my * n_loc + idx).astype(jnp.int32)
+        all_vals = jax.lax.all_gather(vals, DATA_AXIS)
+        all_idx = jax.lax.all_gather(gidx, DATA_AXIS)
+        d = all_vals.shape[0]
+        mv = jnp.transpose(all_vals, (1, 0, 2)).reshape(
+            qb.shape[0], d * topk)
+        mi = jnp.transpose(all_idx, (1, 0, 2)).reshape(
+            qb.shape[0], d * topk)
+        fv, fpos = jax.lax.top_k(mv, topk)
+        fi = jnp.take_along_axis(mi, fpos, axis=1)
+        return fi, fv
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                             P(), P(), P(), P(), P()),
+                   out_specs=(P(), P()), check_vma=False)
+    return fn(xs_pad, xf_pad, lam_pad, q, lap_f, w_f, tau_star,
+              jnp.asarray(tau))
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "mesh", "tau_mix",
                                              "rayleigh_normalized"))
 def _sharded_search_hybrid(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star,
                            tau, *, topk, mesh, tau_mix,
@@ -596,12 +641,49 @@ class ShardedArrowSpace:
         g = dispersion_batch(q, self._w_f, e_un)
         return synthesize(e, g, self._tau_star, self._tau_mix)
 
-    def search_batch(self, queries, tau: float, topk: Optional[int] = None):
+    def _ensure_subtile_state(self):
+        """Row-sharded subtile serving layout (per-shard length a
+        multiple of build_subtile_state's 8192 granularity)."""
+        if getattr(self, "_subtile_pad", None) is None:
+            n_dev = self.mesh.devices.size
+            block = n_dev * 8192
+            n0 = self._xu_pad.shape[0]
+            n_pad = ((n0 + block - 1) // block) * block
+            row = NamedSharding(self.mesh, P(DATA_AXIS))
+            xf = jnp.pad(self._xu_pad.astype(jnp.float32),
+                         ((0, n_pad - n0), (0, 0)))
+            lam = jnp.pad(self._lambdas_pad.astype(jnp.float32),
+                          (0, n_pad - n0), constant_values=-2.0)
+            self._subtile_pad = (
+                jax.device_put(xf.astype(jnp.bfloat16), row),
+                jax.device_put(xf, row),
+                jax.device_put(lam, row))
+        return self._subtile_pad
+
+    def search_batch(self, queries, tau: float, topk: Optional[int] = None,
+                     mode: str = "exact"):
         """(indices [Q, topk], scores [Q, topk]) — the multi-chip serving
-        path; per-query cross-chip traffic is d*topk candidates."""
+        path; per-query cross-chip traffic is d*topk candidates.
+
+        mode "exact" scans the full local shard per chip; "subtile" runs
+        the per-shard block-max routed scan (exact at its bf16 scan
+        dtype, f32-rescored — the highest-QPS mode, see
+        ArrowSpace.search_batch)."""
+        if mode not in ("exact", "subtile"):
+            raise ValueError(f"unknown search mode {mode!r}; expected "
+                             "'exact' or 'subtile'")
         q = jnp.asarray(queries, dtype=self._stored_pad.dtype)
         topk = self._params.topk if topk is None else int(topk)
         topk = min(topk, self._n_real)
+        if mode == "subtile":
+            xs, xf, lam = self._ensure_subtile_state()
+            idx, vals = _sharded_search_subtile(
+                xs, xf, lam, q, self._lap_f, self._w_f, self._tau_star,
+                jnp.asarray(tau, dtype=q.dtype), topk=topk,
+                mesh=self.mesh, tau_mix=self._tau_mix,
+                rayleigh_normalized=self._rayleigh_normalized,
+                n_real=self._n_real)
+            return np.asarray(idx), np.asarray(vals)
         idx, vals = _sharded_search_fused(
             self._xu_pad, self._lambdas_pad, q, self._lap_f, self._w_f,
             self._tau_star, jnp.asarray(tau, dtype=q.dtype), topk=topk,

@@ -44,6 +44,24 @@ def test_search_identical(pair):
     np.testing.assert_allclose(sv, av, rtol=1e-8)
 
 
+def test_search_subtile_matches_single_chip(pair):
+    """Sharded subtile serving must agree with the single-chip subtile
+    mode (same bf16 scan arithmetic per shard, exact all_gather merge)
+    and with the exact scan on this well-separated corpus."""
+    (sspace, _), (aspace, gl), items = pair
+    queries = items[:5] * 1.03
+    si, sv = sspace.search_batch(queries, 0.62, mode="subtile")
+    ui, uv = aspace.search_batch(queries, gl, 0.62, mode="subtile")
+    assert np.array_equal(si, ui), (si, ui)
+    np.testing.assert_allclose(sv, uv, rtol=1e-5)
+    ai, _ = aspace.search_batch(queries, gl, 0.62)
+    overlap = np.mean([len(set(ai[r]) & set(si[r])) / ai.shape[1]
+                       for r in range(len(queries))])
+    assert overlap >= 0.99, overlap
+    with pytest.raises(ValueError, match="unknown search mode"):
+        sspace.search_batch(queries, 0.62, mode="warp")
+
+
 def test_mesh_sizes():
     """The pipeline must work at several device counts (1, 2, 4, 8)."""
     rng = np.random.default_rng(1)
