@@ -57,14 +57,18 @@ def load_protocol_data(seed_q: int = 3):
         # The reference scales embeddings x100 before build (test_3:190).
         return (corpus * SCALING, queries * SCALING, relevant,
                 "MS MARCO (BeIR)")
+    # BENCH_GROUPS=2048 reproduces the reference protocol's 81k x 768
+    # scale (81,039 passages, BASELINE.md); the default stays
+    # CPU-tractable.
+    n_groups = int(os.environ.get("BENCH_GROUPS", 120))
     if os.environ.get("ARROWSPACE_IR_REGIME", "degrade") == "margin":
         corpus, queries, relevant, n_hn = spectral_margin_protocol(
-            n_groups=120, per_group=40, dim=768,
+            n_groups=n_groups, per_group=40, dim=768,
             n_queries=N_EVAL_QUERIES, seed=seed_q)
         return (corpus, queries, relevant,
                 f"synthetic-spectral-margin(hn={n_hn})")
     corpus, _, _, _ = heteroscedastic_clusters(
-        n_groups=120, per_group=40, dim=768)
+        n_groups=n_groups, per_group=40, dim=768)
     queries, relevant = ambiguous_single_relevant_queries(
         corpus, N_EVAL_QUERIES, seed=seed_q, distractor_weight=(0.40, 0.85))
     return corpus, queries, relevant, "synthetic-heteroscedastic"

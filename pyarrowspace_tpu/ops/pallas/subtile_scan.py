@@ -12,25 +12,29 @@ work from the hot loop using the block-max bound:
     Keeping the top S >= k subtiles per query GUARANTEES the true top-k
     survive.
 
-Pipeline (phase a = this kernel, b/c = plain XLA):
-  a. transposed scan: scores^T [tile, Qb] = xu_tile @ qn^T — corpus items
-     land on SUBLANES, so the per-64-item subtile max is a relayout-free
-     sublane-group reduction (log2(64) shifted maxes, no lane crossings,
-     no data-dependent control flow).  Output: subtile-max matrix
-     [n_subtiles, Q].
-  b. top-S subtiles per query (lax.top_k over [Q, n_subtiles]), then
-     rescan the selected subtiles as WHOLE 64-row blocks gathered from
-     the same scan corpus ([N/64, 64, F] is a free reshape view, so each
-     gather is one ~96 KB contiguous DMA instead of 64 row gathers) with
-     the SAME dtype/accumulation as phase a -> the block-max guarantee
-     holds end-to-end and phase b's top-k equals a full scan's top-k.
-  c. exact f32 rescore of the top-(pool_m) pool — served scores are
-     f32-exact.
+Pipeline (all hot stages are Pallas kernels):
+  a. transposed scan (_subtile_kernel_t): scores^T [tile, Qb] =
+     xu_tile @ qn^T — corpus items land on SUBLANES, so the per-64-item
+     subtile max is a relayout-free sublane-group reduction (no lane
+     crossings, no data-dependent control flow).  145 TF/s measured
+     (74% of v5e bf16 peak).  Output: subtile-max matrix + per-tile
+     supertile maxima.
+  b. two-level top-S select (_extract_kernel twice: supertiles, then a
+     256-wide subtile refine — the top-S supertiles provably contain
+     the top-S subtiles), then rescan the selected subtiles as WHOLE
+     64-row blocks (_gather_score_kernel: scalar-prefetched ~96 KB
+     contiguous DMAs, 590 GB/s measured) with the SAME dtype/
+     accumulation as phase a -> the block-max guarantee holds
+     end-to-end and phase b's top-k equals a full scan's top-k.
+  c. pool cut (_extract_kernel) + exact f32 rescore of the top-(pool_m)
+     pool — served scores are f32-exact.
 
-The scan dtype is bf16 by default (2x MXU rate, f32 accumulation;
-measured Mosaic int8 matmul on v5e is NOT faster than f32, and an int8
-phase-b wire format mis-ranks the pool cut — bf16 blocks keep selection
-exact for 2x the gather bytes, still contiguous-DMA cheap).
+1M x 768 x Q16384 on one v5e: 59.8k QPS through the fused product
+pipeline vs 41k for the exact scan (scan_topk.py) same-session.  The
+scan dtype is bf16 by default (2x MXU rate, f32 accumulation; measured
+Mosaic int8 matmul on v5e is NOT faster than f32, and an int8 phase-b
+wire format mis-ranks the pool cut — bf16 blocks keep selection exact
+for 2x the gather bytes, still contiguous-DMA cheap).
 """
 
 from __future__ import annotations
@@ -276,10 +280,9 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     if n_pad % 8192 != 0:
         raise ValueError("corpus must be padded with build_subtile_state "
                          f"(N_pad={n_pad})")
-    # q_block 1024 halves corpus HBM re-reads vs 512 (one pass serves
-    # 1024 queries); VMEM stays small ([1024, F] bf16 query block).
-    # q_block 2048 quarters corpus HBM re-reads vs 512; measured 152 vs
-    # 156 ms (q_block 1024) for phase-a at 1M x 768 x Q16384.
+    # Larger q_block cuts corpus HBM re-reads (one pass serves q_block
+    # queries); 2048 measured 152 vs 156 ms (1024) for phase-a at
+    # 1M x 768 x Q16384, VMEM still small ([2048, F] bf16 query block).
     q_block = min(2048, max(8, 1 << (q - 1).bit_length()))
     q_pad = ((q + q_block - 1) // q_block) * q_block
 
