@@ -71,10 +71,11 @@ def test_ir_eval_margin_artifact_lambda_improves():
     tests/output/1761063134_v0_17_beir-msmarco)."""
     data = json.loads(_latest("ir_eval_margin",
                               "beir_evaluation_results.json").read_text())
+    assert data["dataset_size"] >= 81000, data["dataset_size"]
     imp = data["metrics"]["improvements"]
     assert imp["mrr_pct"] > 0, imp
     assert imp["ndcg@10_pct"] > 0, imp
-    assert abs(imp["recall@10_pct"]) < 1e-9, imp
+    assert imp["recall@10_pct"] >= 0, imp     # tied or better
     assert data["tau"] == 0.62
 
 
