@@ -41,11 +41,15 @@ def main():
         corpus, queries = corpus * 100.0, queries * 100.0
         dataset = "MS MARCO (BeIR)"
     else:
+        # BENCH_GROUPS=2048 reproduces the reference sweep's 81k x 768
+        # scale; the default stays CPU-tractable.
+        import os
+        n_groups = int(os.environ.get("BENCH_GROUPS", 120))
         corpus, _, _, _ = heteroscedastic_clusters(
-            n_groups=120, per_group=40, dim=768)
+            n_groups=n_groups, per_group=40, dim=768)
         queries, relevant = ambiguous_single_relevant_queries(
             corpus, N_EVAL_QUERIES, seed=3, distractor_weight=(0.40, 0.85))
-        dataset = "synthetic-heteroscedastic"
+        dataset = f"synthetic-heteroscedastic-{corpus.shape[0]}"
     (aspace, gl), t_build = timed(ArrowSpaceBuilder.build, GRAPH_PARAMS,
                                   corpus)
     print(f"dataset: {dataset} {corpus.shape}, build: {t_build:.2f}s")
