@@ -21,6 +21,7 @@ def _latest(suffix, filename):
 def test_tau_sweep_artifact_monotone():
     data = json.loads(_latest("tau_sweep",
                               "beir_tau_sweep_results.json").read_text())
+    assert data["dataset_size"] >= 81000, data["dataset_size"]
     by_mode = data["results_by_mode"]
     taus = ["cosine", "taumode", "extra-taumode"]   # 1.0, 0.62, 0.42
     mrr = [by_mode[m]["metrics"]["mrr"] for m in taus]
