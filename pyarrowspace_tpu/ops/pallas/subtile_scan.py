@@ -297,7 +297,13 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
         jnp.asarray(tau, dtype=jnp.float32), q_block=q_block,
         col_tile=col_tile, interpret=interpret)  # [Q, N/64], [Q, N/1024]
 
-    s_keep = min(n_subtiles_keep, n_pad // SUBTILE)
+    # The block-max bound needs s_keep >= topk (each kept subtile can
+    # contribute one distinct better item); keep S*W lane-aligned
+    # (S a multiple of 128/W so the phase-b out block is % 128).
+    align = max(1, 128 // SUBTILE)
+    s_keep = max(n_subtiles_keep, topk)
+    s_keep = ((s_keep + align - 1) // align) * align
+    s_keep = min(s_keep, n_pad // SUBTILE)
     n_real = jnp.asarray(n_real, dtype=jnp.int32)
     # Fully-padded subtiles can't route; partially-padded ones are handled
     # by the per-candidate masks below.

@@ -57,6 +57,28 @@ def test_subtile_pad_guard(state):
                        topk=5)
 
 
+def test_subtile_topk_beyond_s_keep(state):
+    """topk > n_subtiles_keep must still be exact: s_keep scales with
+    topk so the block-max bound holds (silent mis-routing otherwise)."""
+    from pyarrowspace_tpu.ops.pallas.subtile_scan import subtile_search
+    from pyarrowspace_tpu.ops.search import lambda_aware_topk_batch
+    st, xu, lam, rng = state
+    q = 16
+    qn = jnp.asarray(rng.standard_normal((q, xu.shape[1]),
+                                         dtype=np.float32))
+    qn = qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
+    lam_q = jnp.asarray(rng.uniform(0.05, 0.3, q).astype(np.float32))
+    idx_s, _ = subtile_search(st["xu_scan"], st["xu_f32"], st["lambdas"],
+                              qn, lam_q, jnp.float32(0.62), st["n_real"],
+                              topk=25, n_subtiles_keep=16)
+    idx_e, _ = lambda_aware_topk_batch(xu, lam, qn, lam_q,
+                                       jnp.float32(0.62), 25)
+    ie, isb = np.asarray(idx_e), np.asarray(idx_s)
+    overlap = np.mean([len(set(ie[i]) & set(isb[i])) / 25.0
+                       for i in range(q)])
+    assert overlap >= 0.99, overlap
+
+
 def test_subtile_two_level_select_matches_exact():
     """Corpus large enough (n_tiles > s_keep) to route through the
     two-level supertile select; top-k must still match the exact scan."""
