@@ -326,7 +326,9 @@ class ArrowSpace:
         (indices [Q, topk] np.int32, scores [Q, topk] np.float32/64).
         The high-QPS serving path (BASELINE.json north-star).
 
-        mode "exact" (default) scans the full corpus in one fused dispatch;
+        mode "auto" picks the fastest exact-quality mode by corpus size
+        (subtile above the measured ~0.35M-item crossover, else exact);
+        "exact" (default) scans the full corpus in one fused dispatch;
         "int8" runs the quantized candidate scan with an exact f32 rescore
         of a 4x-topk pool — served results match the exact scan whenever
         the true top-k survives the pool (measured top-10 overlap >= 0.99
@@ -338,18 +340,22 @@ class ArrowSpace:
         "subtile" runs the block-max routed scan (transposed Pallas
         phase-a + whole-subtile bf16 rescan + f32 rescore): selection is
         EXACT at the scan dtype by the block-max bound, and it is the
-        fastest mode at large N (1M x 768: 59.8k QPS vs 41k exact; its
-        fixed routing stages only amortize at >= ~0.5M items — below
-        that prefer "exact", measured faster at 262k);
+        fastest mode at large N (1M x 768: 59.8k QPS vs 41k exact; 512k:
+        79.3k vs 68.6k; its fixed routing stages only amortize above
+        ~0.35M items — below that "exact" measures faster, 112k at
+        262k);
         "ivf" routes through the n_probe nearest clusters per query
         (gather-based, best up to ~10^5 items); "ivf_block" uses the
         cluster-contiguous Pallas slab kernel (block-shared probes,
         large-corpus scale).  ivf modes are approximate; enable_ivf() is
         built on demand."""
-        if mode not in ("exact", "int8", "subtile", "ivf", "ivf_block"):
+        if mode not in ("auto", "exact", "int8", "subtile", "ivf",
+                        "ivf_block"):
             raise ValueError(f"unknown search mode {mode!r}; expected "
-                             "'exact', 'int8', 'subtile', 'ivf', or "
-                             "'ivf_block'")
+                             "'auto', 'exact', 'int8', 'subtile', 'ivf', "
+                             "or 'ivf_block'")
+        if mode == "auto":
+            mode = "subtile" if self.nitems >= 350_000 else "exact"
         q = jnp.asarray(queries, dtype=self._data.dtype)
         if q.ndim != 2 or q.shape[1] != self.nfeatures:
             raise ValueError(

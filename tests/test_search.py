@@ -249,3 +249,13 @@ def test_search_batch_rejects_unknown_mode(built):
     aspace, gl, items = built
     with pytest.raises(ValueError, match="unknown search mode"):
         aspace.search_batch(items[:1], gl, 0.62, mode="warp")
+
+
+def test_search_batch_auto_mode(built):
+    """mode="auto" resolves to exact below the crossover (small corpus)
+    and serves the exact scan's results."""
+    aspace, gl, items = built
+    ei, ev = aspace.search_batch(items[:4], gl, 0.62)
+    ai, av = aspace.search_batch(items[:4], gl, 0.62, mode="auto")
+    assert np.array_equal(ei, ai)
+    np.testing.assert_allclose(ev, av, rtol=1e-12)
