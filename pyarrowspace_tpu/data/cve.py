@@ -13,21 +13,41 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from typing import Iterator
 
 START_YEAR = 1999   # reference test_2_CVE_db.py:23-24
 END_YEAR = 2025
 
+_CVE_ID_YEAR = re.compile(r"CVE-(\d{4})-", re.IGNORECASE)
+
+
+def _record_year(path: str, root_dir: str) -> int | None:
+    """Year of a CVE file: the CVE id in the filename (CVE-YYYY-NNNN),
+    else a 4-digit directory component BELOW root_dir (the cvelistV5
+    cves/<year>/<prefix>/ layout).  Matching only the relative path keeps
+    a year-like string in root_dir itself (e.g. /data/cve_2023_dump) from
+    defeating the range filter — r3 review."""
+    m = _CVE_ID_YEAR.search(os.path.basename(path))
+    if m:
+        return int(m.group(1))
+    rel = os.path.relpath(path, root_dir)
+    for part in rel.split(os.sep)[:-1]:
+        if len(part) == 4 and part.isdigit():
+            return int(part)
+    return None
+
 
 def iter_cve_json(root_dir: str, start: int = START_YEAR,
                   end: int = END_YEAR) -> Iterator[tuple[str, dict]]:
     """Yield (path, parsed_json) for every CVE JSON under root_dir whose
-    path mentions a year in [start, end]; unparseable files are skipped
+    record year (filename CVE id, else year directory) is in [start, end];
+    files with no determinable year and unparseable files are skipped
     (the reference tolerates malformed records, test_2_CVE_db.py:71-79)."""
-    years = {str(y) for y in range(start, end + 1)}
     for path in glob.glob(os.path.join(root_dir, "**", "*.json"),
                           recursive=True):
-        if not any(y in path for y in years):
+        year = _record_year(path, root_dir)
+        if year is None or not (start <= year <= end):
             continue
         try:
             with open(path, "r", encoding="utf-8") as fh:

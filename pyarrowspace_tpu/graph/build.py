@@ -159,14 +159,21 @@ def _run_symmetrize(i, w, ell_width: int, n: int, k: int, f: int):
     use_chunked = mode != "device_fused" and large
     try:
         if use_chunked:
-            for n_chunks in (16, 64):
+            # Overflow means a row range held more entries than its
+            # capacity (cap_factor * rows_per_chunk * k) — a hub-row
+            # problem, so the retry must RAISE capacity, not add chunks
+            # (more chunks shrink per-chunk capacity proportionally and
+            # can never fix a single over-full row).
+            for n_chunks, cap_factor in ((16, 3), (16, 12)):
                 nbr_idx, nbr_w, degrees, n_dropped, n_over = \
                     symmetrize_to_ell_chunked(i, w, ell_width,
-                                              n_chunks=n_chunks)
+                                              n_chunks=n_chunks,
+                                              cap_factor=cap_factor)
                 if int(n_over) == 0:
                     return nbr_idx, nbr_w, degrees, int(n_dropped)
                 log.warning("chunked symmetrize overflow at n_chunks=%d "
-                            "(%d entries); retrying", n_chunks, int(n_over))
+                            "cap_factor=%d (%d entries); retrying",
+                            n_chunks, cap_factor, int(n_over))
             raise MemoryError("chunked symmetrize overflow (hub-heavy "
                               "graph exceeds per-chunk capacity)")
         nbr_idx, nbr_w, degrees, n_dropped = symmetrize_to_ell(

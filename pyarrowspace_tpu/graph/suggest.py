@@ -38,6 +38,8 @@ def suggest_graph_params(items, sample: int = 4096, seed: int = 42) -> dict:
     Samples up to `sample` rows; O(sample^2) pairwise work on-device.
     """
     import jax as _jax
+    if not isinstance(items, _jax.Array):
+        items = np.asarray(items)   # list-of-lists input is public API
     n, f = items.shape
     rng = np.random.default_rng(seed)
     if n > sample:

@@ -155,7 +155,11 @@ def _gather_score_pallas(xb3, qn3, sel, *, s_keep, interpret=False):
     table stays a few hundred KB."""
     n_sub, w, f = xb3.shape
     q = qn3.shape[0]
-    qc = min(q, 4096)
+    # Keep the per-chunk flat table (qc * s_keep int32) within ~512 KB of
+    # the ~1 MB SMEM budget regardless of s_keep: a fixed qc=4096 blows
+    # SMEM once s_keep reaches 64 (r3 review).  qc=4096 at s_keep=30
+    # (491 KB) is the measured-good serving config.
+    qc = min(q, 4096, max(256, (131072 // s_keep) // 8 * 8))
 
     def one_chunk(qn_c, sel_c, nq):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -196,12 +200,27 @@ def _gather_score_pallas(xb3, qn3, sel, *, s_keep, interpret=False):
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
+# Sentinel for masked-out candidates fed to the extract kernel.  MUST be
+# strictly above _NEG_INF (the kernel's elimination value): an entry
+# initialized AT _NEG_INF re-enters the max/hit set of every post-
+# exhaustion iteration and the kernel then re-selects already-extracted
+# ids (duplicate served results — r3 review).  -1e6 - cand keeps masked
+# entries astronomically below real blended scores (|score| <~ 2), makes
+# exhaustion ordering deterministic (ascending id), and value collisions
+# at huge cand are harmless (elimination is by id, tiebreak by min id).
+
+
+def _mask_sentinel(ids):
+    return -1.0e6 - ids.astype(jnp.float32)
+
 
 def _extract_kernel(score_ref, cand_ref, out_ref, *, m_pool: int):
     """Sequential max-extraction of the pool, VMEM-resident: m_pool
     iterations of lane-max + min-id tiebreak + mask, with no HBM
     round-trips between iterations (the XLA lax.scan form pays one per
-    extraction)."""
+    extraction).  Inputs must not contain _NEG_INF entries (use
+    _mask_sentinel) — extraction is duplicate-free iff every entry
+    starts strictly above the elimination value."""
     sc = score_ref[:]                            # [B, M]
     cand = cand_ref[:]                           # [B, M]
     for j in range(m_pool):
@@ -305,10 +324,39 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     s_keep = ((s_keep + align - 1) // align) * align
     s_keep = min(s_keep, n_pad // SUBTILE)
     n_real = jnp.asarray(n_real, dtype=jnp.int32)
-    # Fully-padded subtiles can't route; partially-padded ones are handled
-    # by the per-candidate masks below.
-    sub_start = jnp.arange(n_pad // SUBTILE, dtype=jnp.int32) * SUBTILE
-    sub_max = jnp.where(sub_start[None, :] < n_real, sub_max[:q], _NEG_INF)
+    n_sub = n_pad // SUBTILE
+    tau32 = jnp.asarray(tau, dtype=jnp.float32)
+    lam32 = lambdas.astype(jnp.float32)
+    lamq32 = lam_q.astype(jnp.float32)
+    sub_max = sub_max[:q]
+    # The subtile containing n_real (when n_real % SUBTILE != 0) mixes real
+    # and zero-pad rows; a pad row scores (1-tau)/(1+|lam_pad-lam_q|) ~ 0.1
+    # in phase a, which can inflate that subtile's routing max above real
+    # subtiles' and evict one from the top-s_keep (losing true top-k items
+    # when s_keep has no slack — r3 review).  Rescore its rows with the
+    # same dtype/blend as phase a, masked to real rows only, and overwrite
+    # its routing max (the scatter drops when n_real lands on a subtile
+    # boundary past the end).
+    last_sub = n_real // SUBTILE
+    blk_start = last_sub * SUBTILE
+    blk = jax.lax.dynamic_slice(xu_scan, (blk_start, jnp.int32(0)),
+                                (SUBTILE, f))
+    blk_lam = jax.lax.dynamic_slice(lam32, (blk_start,), (SUBTILE,))
+    blk_rows = (jnp.minimum(blk_start, n_pad - SUBTILE)
+                + jnp.arange(SUBTILE, dtype=jnp.int32))
+    blk_cos = jax.lax.dot_general(
+        qn_scan, blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [Q, SUBTILE]
+    blk_prox = 1.0 / (1.0 + jnp.abs(blk_lam[None, :] - lamq32[:, None]))
+    blk_score = tau32 * blk_cos + (1.0 - tau32) * blk_prox
+    blk_score = jnp.where(blk_rows[None, :] < n_real, blk_score, _NEG_INF)
+    sub_max = sub_max.at[:, last_sub].set(jnp.max(blk_score, axis=1),
+                                          mode="drop")
+    # Fully-padded subtiles can't route; mask them with the per-id
+    # sentinel (NOT _NEG_INF — see _mask_sentinel).
+    sub_ids_row = jnp.arange(n_sub, dtype=jnp.int32)
+    sub_max = jnp.where(sub_ids_row[None, :] * SUBTILE < n_real, sub_max,
+                        _mask_sentinel(sub_ids_row)[None, :])
 
     # Two-level top-S: if >= s_keep supertiles had max above item i's
     # score, each would contain a distinct better item — so the top-S
@@ -319,13 +367,22 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     n_tiles = n_pad // col_tile
     sup_keep = min(s_keep, n_tiles)
     if sup_keep * group >= s_keep and n_tiles > sup_keep:
-        sup_start = jnp.arange(n_tiles, dtype=jnp.int32) * col_tile
-        sup_max = jnp.where(sup_start[None, :] < n_real, sup_max[:q],
-                            _NEG_INF)
+        # The supertile containing the partial subtile inherits the same
+        # pad inflation — recompute its max from the corrected sub_max.
+        tile_ids_row = jnp.arange(n_tiles, dtype=jnp.int32)
+        sup_max = sup_max[:q]
+        last_tile = last_sub // group
+        tile_sub = jax.lax.dynamic_slice(
+            sub_max,
+            (jnp.int32(0), jnp.minimum(last_tile, n_tiles - 1) * group),
+            (q, group))
+        sup_max = sup_max.at[:, last_tile].set(jnp.max(tile_sub, axis=1),
+                                               mode="drop")
+        sup_max = jnp.where(tile_ids_row[None, :] * col_tile < n_real,
+                            sup_max, _mask_sentinel(tile_ids_row)[None, :])
         # Both selection stages use the VMEM-resident extract kernel: a
         # sort-based lax.top_k at [Q, 1024] costs ~60 ms at Q=16384.
-        tile_ids = jnp.broadcast_to(
-            jnp.arange(n_tiles, dtype=jnp.int32)[None, :], (q, n_tiles))
+        tile_ids = jnp.broadcast_to(tile_ids_row[None, :], (q, n_tiles))
         sup_sel = _extract_pool_pallas(sup_max, tile_ids,
                                        m_pool=sup_keep,
                                        interpret=interpret)  # [Q, S]
@@ -343,7 +400,6 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
         sub_sel = _extract_pool_pallas(sub_max, sub_ids, m_pool=s_keep,
                                        interpret=interpret)
 
-    tau32 = jnp.asarray(tau, dtype=jnp.float32)
     m_pool = min(pool_m if pool_m is not None else topk,
                  s_keep * SUBTILE)
     m_pool = max(m_pool, min(topk, s_keep * SUBTILE))
@@ -362,13 +418,11 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     cand = (sub_sel[:, :, None] * SUBTILE
             + jnp.arange(SUBTILE, dtype=jnp.int32)[None, None, :])
     cand = cand.reshape(q, s_keep * SUBTILE)            # [Q, S*W]
-    lam32 = lambdas.astype(jnp.float32)
-    lamq32 = lam_q.astype(jnp.float32)
     lam_b = lam32.reshape(n_pad // SUBTILE,
                           SUBTILE)[sub_sel].reshape(q, s_keep * SUBTILE)
     prox = 1.0 / (1.0 + jnp.abs(lam_b - lamq32[:, None]))
     score_b = tau32 * cos_b + (1.0 - tau32) * prox
-    score_b = jnp.where(cand < n_real, score_b, _NEG_INF)
+    score_b = jnp.where(cand < n_real, score_b, _mask_sentinel(cand))
 
     # Pool cut: VMEM-resident sequential max-extraction (Pallas) beats a
     # sort-based top_k up to several dozen extractions — the XLA scan

@@ -205,9 +205,14 @@ def symmetrize_to_ell_chunked(idx: jnp.ndarray, w: jnp.ndarray,
     eid_sorted = jax.lax.sort(
         (dest, jnp.arange(2 * n * k, dtype=jnp.int32)), num_keys=1)[1]
     dest_sorted = dest[eid_sorted]
-    bounds = jnp.searchsorted(dest_sorted,
-                              jnp.arange(0, n_chunks + 1, dtype=jnp.int32)
-                              * r_rows)
+    # Clamp the row-range boundaries at n: the last range would otherwise
+    # end at n_chunks*r_rows > n whenever n % n_chunks != 0, sweeping every
+    # sentinel entry (dest = n: -1 pads and dropped mutual reverse copies)
+    # into the last chunk's count and spuriously flagging overflow.
+    bounds = jnp.searchsorted(
+        dest_sorted,
+        jnp.minimum(jnp.arange(0, n_chunks + 1, dtype=jnp.int32) * r_rows,
+                    n).astype(jnp.int32))
     counts = bounds[1:] - bounds[:-1]
     n_overflow = jnp.sum(jnp.maximum(counts - cap, 0))
 

@@ -760,7 +760,10 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
     """Multi-chip standard build; numerically identical to the single-chip
     pipeline (exact k-NN, exact Gram, exact tau* for every synthesis mode,
     and the same reduction policy — centroid signals feed the feature
-    Laplacian when dims_reduction && n >= reduction_min_n)."""
+    Laplacian when dims_reduction && n >= reduction_min_n), EXCEPT the
+    reduction stage itself: its GSPMD-distributed sums can differ from
+    the single-chip order in the last ulps (pinned at 1e-8 by
+    tests/test_sharded.py)."""
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.devices.size

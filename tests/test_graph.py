@@ -178,3 +178,12 @@ def test_suggested_eps_artifact(tmp_path, monkeypatch):
     assert "Build configuration: eps=0.2" in doc
     assert "| **eps** | 0.2 |" in doc
     assert "intrinsic dimension=" in doc
+
+
+def test_suggest_graph_params_list_input():
+    """r3 review regression: list-of-lists input (public API) crashed
+    with AttributeError after the device-sampling rework."""
+    from pyarrowspace_tpu.graph.suggest import suggest_graph_params
+    rec = suggest_graph_params([[0.1, 0.2, 0.3, 0.1], [0.3, 0.4, 0.1, 0.2],
+                                [0.5, 0.1, 0.2, 0.4], [0.2, 0.2, 0.1, 0.6]])
+    assert rec["eps"] > 0 and rec["k"] >= 1

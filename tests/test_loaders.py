@@ -87,3 +87,23 @@ def test_hf_loaders_fail_cleanly_offline(monkeypatch):
                lambda: load_beir_msmarco(corpus_size=10)):
         with pytest.raises(Exception):
             fn()
+
+
+def test_iter_cve_json_year_in_root_dir_does_not_defeat_filter(tmp_path):
+    """r3 review regression: the year filter used to substring-match the
+    WHOLE path, so a year-like token in root_dir (e.g. .../cve_2023_dump)
+    satisfied any range and the [start, end] filter was a no-op."""
+    import shutil
+    root = tmp_path / "cve_2023_dump"
+    shutil.copytree(FIXTURES, root)
+    recs = dict(iter_cve_json(str(root), start=1999, end=2001))
+    assert len(recs) == 0, sorted(recs)
+    recs21 = dict(iter_cve_json(str(root), start=2021, end=2021))
+    assert len(recs21) == 4
+    # flat layout: the year comes from the CVE id in the filename
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for p in (FIXTURES / "2021").glob("*.json"):
+        shutil.copy(p, flat / p.name)
+    assert len(dict(iter_cve_json(str(flat), start=2021, end=2021))) == 4
+    assert len(dict(iter_cve_json(str(flat), start=2023, end=2023))) == 0

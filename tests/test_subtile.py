@@ -129,3 +129,72 @@ def test_subtile_never_serves_padding():
                                st["xu_f32"], st["lambdas"], qn, lam_q,
                                jnp.float32(0.62), st["n_real"], topk=10)
     assert int(np.asarray(idx).max()) < n, np.asarray(idx).max()
+
+
+@pytest.mark.parametrize("pool_m", [30, 60])
+def test_subtile_no_duplicate_results(pool_m):
+    """r3 review regression: with fewer real subtiles than s_keep the
+    extract kernel used to re-select already-extracted ids once every
+    score hit the elimination value, so routing returned duplicate
+    subtiles and the pool served duplicate items (measured: 5 unique of
+    a top-30 at n=1000).  Covers both pool paths (extract <= 48 < top_k)."""
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas.subtile_scan import (
+        build_subtile_state, subtile_search)
+    from pyarrowspace_tpu.ops.search import lambda_aware_topk_batch
+    rng = np.random.default_rng(11)
+    n, f, topk = 1000, 64, 30
+    xu = unit_normalize(jnp.asarray(
+        rng.standard_normal((n, f), dtype=np.float32)))
+    lam = jnp.asarray(rng.uniform(0.05, 0.3, n).astype(np.float32))
+    st = build_subtile_state(xu, lam, scan_dtype=jnp.float32)
+    q = 16
+    qn = unit_normalize(jnp.asarray(
+        rng.standard_normal((q, f), dtype=np.float32)))
+    lam_q = jnp.asarray(rng.uniform(0.05, 0.3, q).astype(np.float32))
+    idx_s, _ = subtile_search(st["xu_scan"], st["xu_f32"], st["lambdas"],
+                              qn, lam_q, jnp.float32(0.62), st["n_real"],
+                              topk=topk, pool_m=pool_m)
+    isb = np.asarray(idx_s)
+    assert isb.max() < n
+    for i in range(q):
+        assert len(set(isb[i])) == topk, f"duplicates in row {i}: {isb[i]}"
+    idx_e, _ = lambda_aware_topk_batch(xu, lam, qn, lam_q,
+                                       jnp.float32(0.62), topk)
+    ie = np.asarray(idx_e)
+    overlap = np.mean([len(set(ie[i]) & set(isb[i])) / topk
+                       for i in range(q)])
+    assert overlap >= 0.99, overlap
+
+
+def test_subtile_partial_subtile_routing_exact():
+    """r3 review regression: zero-pad rows in the PARTIALLY-padded last
+    subtile scored (1-tau)/(1+|lam_pad-lam_q|) ~ 0.127 in phase a,
+    inflating that subtile's routing max and (with s_keep == topk, no
+    slack) evicting a real subtile — losing true top-k items for
+    near-orthogonal queries.  n=3000: last subtile = 56 real + 8 pad."""
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas.subtile_scan import (
+        build_subtile_state, subtile_search)
+    from pyarrowspace_tpu.ops.search import lambda_aware_topk_batch
+    rng = np.random.default_rng(3)
+    n, f, topk = 3000, 128, 16
+    xu = unit_normalize(jnp.asarray(
+        rng.standard_normal((n, f), dtype=np.float32)))
+    # lambda-mismatched corpus: blended scores small enough that the
+    # 0.127 pad score would out-rank the k-th best real subtile max.
+    lam = jnp.asarray(rng.uniform(5.0, 9.0, n).astype(np.float32))
+    st = build_subtile_state(xu, lam, scan_dtype=jnp.float32)
+    q = 32
+    qn = unit_normalize(jnp.asarray(
+        rng.standard_normal((q, f), dtype=np.float32)))
+    lam_q = jnp.asarray(rng.uniform(0.05, 0.2, q).astype(np.float32))
+    idx_s, _ = subtile_search(st["xu_scan"], st["xu_f32"], st["lambdas"],
+                              qn, lam_q, jnp.float32(0.62), st["n_real"],
+                              topk=topk, n_subtiles_keep=topk)
+    idx_e, _ = lambda_aware_topk_batch(xu, lam, qn, lam_q,
+                                       jnp.float32(0.62), topk)
+    ie, isb = np.asarray(idx_e), np.asarray(idx_s)
+    overlap = np.mean([len(set(ie[i]) & set(isb[i])) / topk
+                       for i in range(q)])
+    assert overlap == 1.0, overlap

@@ -87,3 +87,18 @@ def test_build_env_mode_device_chunked(monkeypatch):
         monkeypatch.setenv("ARROWSPACE_SYMMETRIZE", mode)
         aspace, gl = ArrowSpaceBuilder.build(gp, items)
         assert gl.nnodes == 200
+
+
+def test_chunked_no_spurious_overflow_on_ragged_n():
+    """r3 review regression: when n % n_chunks != 0 the last row-range
+    boundary used to land past n and sweep every sentinel entry (-1 pads
+    and dropped mutual reverse copies) into the last chunk's count —
+    flagging overflow at the DEFAULT cap_factor for perfectly normal
+    graphs, so the memory-bounded device path never engaged."""
+    idx, w = _random_knn(1000, 6, seed=7)
+    m = 12
+    ref = symmetrize_to_ell(idx, w, m)
+    got = symmetrize_to_ell_chunked(idx, w, m, n_chunks=16)  # default cap
+    assert int(got[4]) == 0, f"spurious overflow: {int(got[4])}"
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
