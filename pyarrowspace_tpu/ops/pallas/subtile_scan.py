@@ -88,9 +88,12 @@ def _subtile_pallas_t(xu_pad, lam_col, qn_pad, lamq_row, tau, *, q_block,
                       col_tile, interpret=False):
     """Transposed subtile-max scan.
 
-    Returns (sub_max [Q_pad, N_pad/64], sup_max [Q_pad, N_pad/col_tile]):
-    per-64-item subtile maxima plus per-tile (supertile) maxima for the
-    two-level top-S select."""
+    Returns (sub_t [N_pad/64, Q_pad], sup_t [N_pad/col_tile, Q_pad]) in
+    the kernel's native pre-transpose layout (items on the leading axis):
+    per-64-item subtile maxima plus per-tile (supertile) maxima.  The
+    selection stage consumes this layout directly — transposing the
+    [N/64, Q] matrix (1 GB at 1M x Q16384) was measured as part of a
+    66 ms selection stage that the transposed extract does in ~10 ms."""
     n_pad, f = xu_pad.shape
     q_pad = qn_pad.shape[0]
     nsub = col_tile // SUBTILE
@@ -119,10 +122,10 @@ def _subtile_pallas_t(xu_pad, lam_col, qn_pad, lamq_row, tau, *, q_block,
         interpret=interpret,
     )(xu_pad, qn_pad, lam_col,
       lamq_row, jnp.asarray(tau, jnp.float32).reshape(1, 1))
-    # Supertile (per-tile) maxima for the two-level top-S select, reduced
-    # in the pre-transpose layout so XLA folds it into one pass.
+    # Supertile (per-tile) maxima for the two-level fallback select,
+    # reduced in the pre-transpose layout so XLA folds it into one pass.
     sup_t = jnp.max(out_t.reshape(n_pad // col_tile, nsub, q_pad), axis=1)
-    return out_t.T, sup_t.T
+    return out_t, sup_t
 
 
 def _gather_score_kernel(sel_ref, qn_ref, *refs):
@@ -260,6 +263,51 @@ def _extract_pool_pallas(score_b, cand, *, m_pool, interpret=False):
     return out[:q]
 
 
+def _extract_iota_kernel_t(score_ref, out_ref, *, m_pool: int):
+    """Transposed-layout max extraction: scores [M, B] with candidates on
+    the leading (sublane) axis, candidate ids generated in-kernel as an
+    iota — no [Q, M] transpose, no cand array read.  Same duplicate-free
+    contract as _extract_kernel (inputs strictly above _NEG_INF)."""
+    sc = score_ref[:]                                   # [M, B]
+    ids = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
+    for j in range(m_pool):
+        m = jnp.max(sc, axis=0, keepdims=True)
+        hit = sc == m
+        sel = jnp.min(jnp.where(hit, ids, _INT_MAX), axis=0, keepdims=True)
+        out_ref[j:j + 1, :] = sel
+        sc = jnp.where(ids == sel, _NEG_INF, sc)
+
+
+# Single-level select cap: the whole [n_sub, qb] block must sit in VMEM
+# (n_sub * 128 lanes * 4 B + the iota), so beyond ~32k subtiles (~2M rows
+# at W=64, 16 MB/block) the two-level fallback takes over.
+_SINGLE_LEVEL_MAX_NSUB = 32768
+
+
+@functools.partial(jax.jit, static_argnames=("m_pool", "interpret"))
+def _extract_ids_pallas_t(score_t, *, m_pool, interpret=False):
+    """sel [Q, m_pool] = per-query top-m_pool candidate ids from a
+    TRANSPOSED [M, Q] score matrix (phase-a's native layout).  One-level
+    replacement for the sup-select + take_along_axis refine + sub-select
+    chain: the XLA row-gather of the refine stage alone measured 65 ms
+    at 1M x 768 x Q16384 where this kernel's full select costs ~10 ms."""
+    m, qp = score_t.shape
+    qb = min(128, qp)
+    out = pl.pallas_call(
+        functools.partial(_extract_iota_kernel_t, m_pool=m_pool),
+        grid=(qp // qb,),
+        in_specs=[pl.BlockSpec((m, qb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((m_pool, qb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pool, qp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None,
+        interpret=interpret,
+    )(score_t)
+    return out.T
+
+
 @functools.partial(jax.jit,
                    static_argnames=("topk", "n_subtiles_keep", "pool_m",
                                     "interpret"))
@@ -311,10 +359,10 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     lamq_pad = jnp.pad(lam_q.astype(jnp.float32), (0, q_pad - q))
 
     lam_col = lambdas.astype(jnp.float32).reshape(n_pad, 1)
-    sub_max, sup_max = _subtile_pallas_t(
+    sub_t, sup_t = _subtile_pallas_t(
         xu_scan, lam_col, qn_pad, lamq_pad.reshape(1, q_pad),
         jnp.asarray(tau, dtype=jnp.float32), q_block=q_block,
-        col_tile=col_tile, interpret=interpret)  # [Q, N/64], [Q, N/1024]
+        col_tile=col_tile, interpret=interpret)  # [N/64, Qp], [N/1024, Qp]
 
     # The block-max bound needs s_keep >= topk (each kept subtile can
     # contribute one distinct better item); keep S*W lane-aligned
@@ -328,7 +376,6 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     tau32 = jnp.asarray(tau, dtype=jnp.float32)
     lam32 = lambdas.astype(jnp.float32)
     lamq32 = lam_q.astype(jnp.float32)
-    sub_max = sub_max[:q]
     # The subtile containing n_real (when n_real % SUBTILE != 0) mixes real
     # and zero-pad rows; a pad row scores (1-tau)/(1+|lam_pad-lam_q|) ~ 0.1
     # in phase a, which can inflate that subtile's routing max above real
@@ -336,7 +383,8 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     # when s_keep has no slack — r3 review).  Rescore its rows with the
     # same dtype/blend as phase a, masked to real rows only, and overwrite
     # its routing max (the scatter drops when n_real lands on a subtile
-    # boundary past the end).
+    # boundary past the end).  All selection-stage work stays in phase a's
+    # transposed [n_sub, Q_pad] layout.
     last_sub = n_real // SUBTILE
     blk_start = last_sub * SUBTILE
     blk = jax.lax.dynamic_slice(xu_scan, (blk_start, jnp.int32(0)),
@@ -345,60 +393,66 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
     blk_rows = (jnp.minimum(blk_start, n_pad - SUBTILE)
                 + jnp.arange(SUBTILE, dtype=jnp.int32))
     blk_cos = jax.lax.dot_general(
-        qn_scan, blk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [Q, SUBTILE]
-    blk_prox = 1.0 / (1.0 + jnp.abs(blk_lam[None, :] - lamq32[:, None]))
+        qn_pad, blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [Q_pad, SUBTILE]
+    lamq_p32 = lamq_pad
+    blk_prox = 1.0 / (1.0 + jnp.abs(blk_lam[None, :] - lamq_p32[:, None]))
     blk_score = tau32 * blk_cos + (1.0 - tau32) * blk_prox
     blk_score = jnp.where(blk_rows[None, :] < n_real, blk_score, _NEG_INF)
-    sub_max = sub_max.at[:, last_sub].set(jnp.max(blk_score, axis=1),
-                                          mode="drop")
+    sub_t = sub_t.at[last_sub].set(jnp.max(blk_score, axis=1), mode="drop")
     # Fully-padded subtiles can't route; mask them with the per-id
     # sentinel (NOT _NEG_INF — see _mask_sentinel).
-    sub_ids_row = jnp.arange(n_sub, dtype=jnp.int32)
-    sub_max = jnp.where(sub_ids_row[None, :] * SUBTILE < n_real, sub_max,
-                        _mask_sentinel(sub_ids_row)[None, :])
+    sub_ids_col = jnp.arange(n_sub, dtype=jnp.int32)
+    sub_t = jnp.where(sub_ids_col[:, None] * SUBTILE < n_real, sub_t,
+                      _mask_sentinel(sub_ids_col)[:, None])
 
-    # Two-level top-S: if >= s_keep supertiles had max above item i's
-    # score, each would contain a distinct better item — so the top-S
-    # supertiles contain the top-S subtiles (same block-max argument one
-    # level up).  top_k over [Q, N/1024] + a 256-wide refine is ~16x
-    # cheaper than top_k over [Q, N/64].
-    group = col_tile // SUBTILE
-    n_tiles = n_pad // col_tile
-    sup_keep = min(s_keep, n_tiles)
-    if sup_keep * group >= s_keep and n_tiles > sup_keep:
-        # The supertile containing the partial subtile inherits the same
-        # pad inflation — recompute its max from the corrected sub_max.
-        tile_ids_row = jnp.arange(n_tiles, dtype=jnp.int32)
-        sup_max = sup_max[:q]
-        last_tile = last_sub // group
-        tile_sub = jax.lax.dynamic_slice(
-            sub_max,
-            (jnp.int32(0), jnp.minimum(last_tile, n_tiles - 1) * group),
-            (q, group))
-        sup_max = sup_max.at[:, last_tile].set(jnp.max(tile_sub, axis=1),
-                                               mode="drop")
-        sup_max = jnp.where(tile_ids_row[None, :] * col_tile < n_real,
-                            sup_max, _mask_sentinel(tile_ids_row)[None, :])
-        # Both selection stages use the VMEM-resident extract kernel: a
-        # sort-based lax.top_k at [Q, 1024] costs ~60 ms at Q=16384.
-        tile_ids = jnp.broadcast_to(tile_ids_row[None, :], (q, n_tiles))
-        sup_sel = _extract_pool_pallas(sup_max, tile_ids,
-                                       m_pool=sup_keep,
-                                       interpret=interpret)  # [Q, S]
-        cand_sub = (sup_sel[:, :, None] * group
-                    + jnp.arange(group, dtype=jnp.int32)[None, None, :])
-        cand_sub = cand_sub.reshape(q, sup_keep * group)
-        sub_vals = jnp.take_along_axis(sub_max, cand_sub, axis=1)
-        sub_sel = _extract_pool_pallas(sub_vals, cand_sub, m_pool=s_keep,
-                                       interpret=interpret)
+    if n_sub <= _SINGLE_LEVEL_MAX_NSUB:
+        # One-level top-S directly on the transposed score matrix: no
+        # [Q, n_sub] transpose, no cand-id array, no refine gather (the
+        # previous two-level chain's take_along_axis refine alone cost
+        # 65 ms at 1M x 768 x Q16384 — measured r3; this path ~10 ms).
+        sub_sel = _extract_ids_pallas_t(sub_t, m_pool=s_keep,
+                                        interpret=interpret)[:q]
     else:
-        # Small corpora only (n_sub <= sup_keep * group = 256).
-        sub_ids = jnp.broadcast_to(
-            jnp.arange(n_pad // SUBTILE, dtype=jnp.int32)[None, :],
-            sub_max.shape)
-        sub_sel = _extract_pool_pallas(sub_max, sub_ids, m_pool=s_keep,
-                                       interpret=interpret)
+        # Beyond ~2M rows the [n_sub, qb] block no longer fits VMEM;
+        # fall back to the two-level select: the top-S supertiles
+        # provably contain the top-S subtiles (block-max argument one
+        # level up), so a [Q, N/1024] select + 256-wide refine is exact.
+        group = col_tile // SUBTILE
+        n_tiles = n_pad // col_tile
+        sup_keep = min(s_keep, n_tiles)
+        # The supertile containing the partial subtile inherits the same
+        # pad inflation — recompute its max from the corrected sub_t.
+        tile_ids_col = jnp.arange(n_tiles, dtype=jnp.int32)
+        last_tile = last_sub // group
+        tile_rows = jax.lax.dynamic_slice(
+            sub_t, (jnp.minimum(last_tile, n_tiles - 1) * group,
+                    jnp.int32(0)), (group, q_pad))
+        sup_t = sup_t.at[last_tile].set(jnp.max(tile_rows, axis=0),
+                                        mode="drop")
+        sup_t = jnp.where(tile_ids_col[:, None] * col_tile < n_real,
+                          sup_t, _mask_sentinel(tile_ids_col)[:, None])
+        sub_max = sub_t.T[:q]
+        if sup_keep * group >= s_keep and n_tiles > sup_keep:
+            sup_max = sup_t.T[:q]
+            tile_ids = jnp.broadcast_to(tile_ids_col[None, :], (q, n_tiles))
+            sup_sel = _extract_pool_pallas(sup_max, tile_ids,
+                                           m_pool=sup_keep,
+                                           interpret=interpret)  # [Q, S]
+            cand_sub = (sup_sel[:, :, None] * group
+                        + jnp.arange(group,
+                                     dtype=jnp.int32)[None, None, :])
+            cand_sub = cand_sub.reshape(q, sup_keep * group)
+            sub_vals = jnp.take_along_axis(sub_max, cand_sub, axis=1)
+            sub_sel = _extract_pool_pallas(sub_vals, cand_sub,
+                                           m_pool=s_keep,
+                                           interpret=interpret)
+        else:
+            sub_ids = jnp.broadcast_to(sub_ids_col[None, :],
+                                       sub_max.shape)
+            sub_sel = _extract_pool_pallas(sub_max, sub_ids,
+                                           m_pool=s_keep,
+                                           interpret=interpret)
 
     m_pool = min(pool_m if pool_m is not None else topk,
                  s_keep * SUBTILE)

@@ -198,3 +198,34 @@ def test_subtile_partial_subtile_routing_exact():
     overlap = np.mean([len(set(ie[i]) & set(isb[i])) / topk
                        for i in range(q)])
     assert overlap == 1.0, overlap
+
+
+def test_subtile_two_level_fallback_matches_single_level(monkeypatch):
+    """The two-level select (used beyond _SINGLE_LEVEL_MAX_NSUB subtiles,
+    where the one-level block no longer fits VMEM) must pick the same
+    results as the one-level path."""
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas import subtile_scan as ss
+    rng = np.random.default_rng(21)
+    n, f, topk = 30000, 64, 10   # n_pad 32768 -> n_sub 512, n_tiles 32
+    xu = unit_normalize(jnp.asarray(
+        rng.standard_normal((n, f), dtype=np.float32)))
+    lam = jnp.asarray(rng.uniform(0.05, 0.3, n).astype(np.float32))
+    st = ss.build_subtile_state(xu, lam, scan_dtype=jnp.float32)
+    q = 16
+    qn = unit_normalize(jnp.asarray(
+        rng.standard_normal((q, f), dtype=np.float32)))
+    lam_q = jnp.asarray(rng.uniform(0.05, 0.3, q).astype(np.float32))
+    args = (st["xu_scan"], st["xu_f32"], st["lambdas"], qn, lam_q,
+            jnp.float32(0.62), st["n_real"])
+    idx_one, val_one = ss.subtile_search(*args, topk=topk)
+    monkeypatch.setattr(ss, "_SINGLE_LEVEL_MAX_NSUB", 8)
+    import jax
+    jax.clear_caches()
+    try:
+        idx_two, val_two = ss.subtile_search(*args, topk=topk)
+    finally:
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(idx_one), np.asarray(idx_two))
+    np.testing.assert_allclose(np.asarray(val_one), np.asarray(val_two),
+                               rtol=1e-6)
