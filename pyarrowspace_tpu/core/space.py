@@ -327,7 +327,7 @@ class ArrowSpace:
         The high-QPS serving path (BASELINE.json north-star).
 
         mode "auto" picks the fastest exact-quality mode by corpus size
-        (subtile above the measured ~0.35M-item crossover, else exact);
+        (subtile above the measured ~0.13M-item crossover, else exact);
         "exact" (default) scans the full corpus in one fused dispatch;
         "int8" runs the quantized candidate scan with an exact f32 rescore
         of a 4x-topk pool — served results match the exact scan whenever
@@ -340,10 +340,10 @@ class ArrowSpace:
         "subtile" runs the block-max routed scan (transposed Pallas
         phase-a + whole-subtile bf16 rescan + f32 rescore): selection is
         EXACT at the scan dtype by the block-max bound, and it is the
-        fastest mode at large N (1M x 768: 59.8k QPS vs 41k exact; 512k:
-        79.3k vs 68.6k; its fixed routing stages only amortize above
-        ~0.35M items — below that "exact" measures faster, 112k at
-        262k);
+        fastest mode at large N (1M x 768: 74.9k QPS vs 41k exact; 512k:
+        102.6k vs 64.9k; 262k: 135.4k vs 111.5k; its fixed routing
+        stages only amortize above ~0.13M items — measured tie at 131k
+        (176k both), "exact" faster below, 229k vs 197k at 65k);
         "ivf" routes through the n_probe nearest clusters per query
         (gather-based, best up to ~10^5 items); "ivf_block" uses the
         cluster-contiguous Pallas slab kernel (block-shared probes,
@@ -355,7 +355,7 @@ class ArrowSpace:
                              "'auto', 'exact', 'int8', 'subtile', 'ivf', "
                              "or 'ivf_block'")
         if mode == "auto":
-            mode = "subtile" if self.nitems >= 350_000 else "exact"
+            mode = "subtile" if self.nitems >= 131_072 else "exact"
         q = jnp.asarray(queries, dtype=self._data.dtype)
         if q.ndim != 2 or q.shape[1] != self.nfeatures:
             raise ValueError(

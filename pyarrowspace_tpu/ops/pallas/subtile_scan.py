@@ -348,9 +348,10 @@ def subtile_search(xu_scan: jnp.ndarray, xu_f32: jnp.ndarray,
         raise ValueError("corpus must be padded with build_subtile_state "
                          f"(N_pad={n_pad})")
     # Larger q_block cuts corpus HBM re-reads (one pass serves q_block
-    # queries); 2048 measured 152 vs 156 ms (1024) for phase-a at
-    # 1M x 768 x Q16384, VMEM still small ([2048, F] bf16 query block).
-    q_block = min(2048, max(8, 1 << (q - 1).bit_length()))
+    # queries); measured phase-a at 1M x 768 x Q16384: 1024 -> 156 ms,
+    # 2048 -> 152, 4096 -> 149 (same-session A/Bs).  VMEM stays small
+    # ([4096, F] bf16 query block = 6 MB).
+    q_block = min(4096, max(8, 1 << (q - 1).bit_length()))
     q_pad = ((q + q_block - 1) // q_block) * q_block
 
     scan_dtype = xu_scan.dtype
