@@ -108,3 +108,83 @@ class TestAdapterCharacterization:
         raw = ranks(queries)
         proj = ranks(queries @ P)             # corpus unchanged: P xi = xi
         np.testing.assert_array_equal(raw, proj)
+
+
+class TestTSDAE:
+    """Text-level TSDAE (models/tsdae.py) — the reference's
+    embeddings_model stage (denoising autoencoder fine-tune of the text
+    encoder, reference tests/embeddings_model.py:23-35)."""
+
+    CORPUS = [
+        "heap overflow in the image parser allows remote code execution",
+        "stack overflow in the pdf parser allows remote code execution",
+        "cross site scripting in the admin panel leaks session cookies",
+        "sql injection in the login form leaks user credentials",
+        "use after free in the font renderer allows remote code execution",
+        "improper input validation in the upload handler leaks files",
+        "buffer overflow in the audio decoder allows remote code",
+        "path traversal in the download endpoint leaks arbitrary files",
+    ] * 4
+
+    def _small_config(self, **kw):
+        from pyarrowspace_tpu.models import TSDAEConfig
+        base = dict(vocab=512, d_model=32, n_layers=1, heads=4,
+                    max_len=16, epochs=8, lr=1e-3, batch_size=8, seed=0)
+        base.update(kw)
+        return TSDAEConfig(**base)
+
+    def test_training_reduces_reconstruction_loss(self):
+        from pyarrowspace_tpu.models import TSDAEEncoder
+        enc = TSDAEEncoder(self._small_config())
+        enc.fit(self.CORPUS)
+        first = np.mean(enc.losses_[:4])
+        last = np.mean(enc.losses_[-4:])
+        assert last < 0.85 * first, (first, last)
+
+    def test_encode_shape_norm_and_determinism(self):
+        from pyarrowspace_tpu.models import TSDAEEncoder
+        enc = TSDAEEncoder(self._small_config())
+        e1 = enc.encode(self.CORPUS[:5])
+        e2 = enc.encode(self.CORPUS[:5])
+        assert e1.shape == (5, 32)
+        np.testing.assert_allclose(np.linalg.norm(e1, axis=1), 1.0,
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(e1, e2)
+        # batch-size independence (padding must not leak into outputs)
+        e3 = enc.encode(self.CORPUS[:5], batch_size=2)
+        np.testing.assert_allclose(e1, e3, atol=1e-5)
+
+    def test_adapted_embeddings_preserve_lexical_similarity(self):
+        from pyarrowspace_tpu.models import TSDAEEncoder
+        enc = TSDAEEncoder(self._small_config())
+        enc.fit(self.CORPUS)
+        emb = enc.encode([
+            "heap overflow in the image parser allows remote code",
+            "stack overflow in the image parser allows remote code",
+            "sql injection in the login form leaks user credentials",
+        ])
+        sim_near = float(emb[0] @ emb[1])
+        sim_far = float(emb[0] @ emb[2])
+        assert sim_near > sim_far, (sim_near, sim_far)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from pyarrowspace_tpu.models import TSDAEEncoder
+        enc = TSDAEEncoder(self._small_config(epochs=1))
+        enc.fit(self.CORPUS[:8])
+        p = str(tmp_path / "tsdae.npz")
+        enc.save(p)
+        from pyarrowspace_tpu.models.tsdae import TSDAEEncoder as T2
+        back = T2.load(p)
+        np.testing.assert_allclose(enc.encode(self.CORPUS[:3]),
+                                   back.encode(self.CORPUS[:3]), atol=1e-6)
+
+    def test_adapt_corpus_end_to_end_build(self):
+        """Reference flow: CVE-style texts -> TSDAE adapt -> standard
+        build -> search stays self-consistent."""
+        from pyarrowspace_tpu.models import adapt_corpus
+        from pyarrowspace_tpu import ArrowSpaceBuilder
+        emb = adapt_corpus(self.CORPUS[:16], self._small_config(epochs=2))
+        gp = {"eps": 1.31, "k": 4, "topk": 5, "p": 2.0, "sigma": None}
+        aspace, gl = ArrowSpaceBuilder.build(gp, emb.astype(np.float64))
+        hits = aspace.search(emb[0].astype(np.float64), gl, 0.62)
+        assert hits[0][0] == 0
