@@ -30,7 +30,9 @@ def load_corpus():
     1. ARROWSPACE_CVE_DIR — a CVE JSON tree, iterated + text-extracted +
        embedded (sentence-transformers when available, hash_embed
        otherwise) with the reference's x12 scaling
-       (tests/test_2_CVE_db.py:71-154);
+       (tests/test_2_CVE_db.py:71-154); ARROWSPACE_TSDAE=1 additionally
+       runs the TSDAE domain-adaptation stage on the corpus texts first
+       (reference tests/embeddings_model.py feeding tests 2/8/9);
     2. ARROWSPACE_DATA_DIR/cve.npy — pre-exported embeddings;
     3. synthetic duplicate clusters (zero-egress default)."""
     import os
@@ -40,7 +42,12 @@ def load_corpus():
         from pyarrowspace_tpu.models import embed_texts
         ids, titles, texts = load_cve_corpus(cve_dir)
         print(f"CVE tree: {len(ids)} records from {cve_dir}")
-        emb = embed_texts(texts, dim_fallback=384)
+        if os.environ.get("ARROWSPACE_TSDAE", "0") == "1":
+            from pyarrowspace_tpu.models import adapt_corpus
+            print("TSDAE domain adaptation on corpus texts")
+            emb = adapt_corpus(texts)
+        else:
+            emb = embed_texts(texts, dim_fallback=384)
         return np.asarray(emb, dtype=np.float64) * 12.0
     emb = try_load_real_embeddings("cve")
     if emb is not None:
