@@ -1,8 +1,9 @@
 """Fused exact k-NN Pallas kernel — the hottest op of the build pipeline.
 
-One `pallas_call` per row block handles the entire corpus: the TPU grid is
-sequential, so the kernel keeps a running (distance, index) top-k in VMEM
-scratch across column-tile grid steps.  Each step is:
+ONE `pallas_call` handles the entire corpus over a (row-block, column-tile)
+grid: the TPU grid is sequential, so the kernel keeps the current row
+block's running (distance, index) top-k in VMEM scratch across the inner
+column-tile steps and emits it at each block's last step.  Each step is:
 
     MXU:  sims = rows @ cols^T                       [B, T]
     VPU:  d = 1 - max(0, sims); self/pad/eps mask
@@ -39,12 +40,14 @@ _INF_DIST = 2.0
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-def _knn_block_kernel(eps_ref, nreal_ref, rowstart_ref, rows_ref, cols_ref,
+def _knn_block_kernel(eps_ref, nreal_ref, rows_ref, cols_ref,
                       out_d_ref, out_i_ref, run_d, run_i, *, k: int,
-                      col_tile: int):
-    """Grid dim 0 walks column tiles; running top-k lives in VMEM scratch."""
-    t = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
+                      col_tile: int, block_rows: int):
+    """Grid dim 0 walks row blocks, dim 1 column tiles (innermost); the
+    running top-k for the current row block lives in VMEM scratch."""
+    rb = pl.program_id(0)
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _init():
@@ -62,7 +65,7 @@ def _knn_block_kernel(eps_ref, nreal_ref, rowstart_ref, rows_ref, cols_ref,
 
     col_ids = (t * col_tile
                + jax.lax.broadcasted_iota(jnp.int32, (b, col_tile), 1))
-    row_ids = (rowstart_ref[0]
+    row_ids = (rb * block_rows
                + jax.lax.broadcasted_iota(jnp.int32, (b, col_tile), 0))
     invalid = (col_ids == row_ids) | (col_ids >= nreal_ref[0])
     d = jnp.where(invalid | (d > eps_ref[0]), _INF_DIST, d).astype(
@@ -117,29 +120,35 @@ def _knn_block_kernel(eps_ref, nreal_ref, rowstart_ref, rows_ref, cols_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_rows", "col_tile", "interpret"))
-def _knn_pallas_block(xu_pad, rows, eps_arr, nreal_arr, row_start, *, k,
-                      block_rows, col_tile, interpret=False):
-    """One row-block against the whole corpus — one pallas_call dispatch.
+def _knn_pallas_all(xu_pad, eps_arr, nreal_arr, *, k, block_rows, col_tile,
+                    interpret=False):
+    """The whole corpus in ONE pallas_call: grid (row blocks, col tiles).
 
-    Blocks are python-looped (async-pipelined) rather than lax.map'd: a
-    mapped pallas_call makes XLA pin the stacked per-iteration outputs in
-    VMEM, blowing the 16 MB scoped limit at realistic block sizes."""
+    One dispatch instead of a python loop of per-block calls — through the
+    axon tunnel the loop's n_pad/block_rows dispatches (~10 ms each) put a
+    ~3.1 s floor under the 313k build's kNN phase regardless of kernel
+    speed (measured r3: in-bench phase stuck at 3.17 s while the same
+    kernel A/B'd 25% faster standalone).  The grid's sequential outer dim
+    carries the running top-k scratch; each row block's result block is
+    emitted once at its last column step, so nothing is VMEM-pinned across
+    blocks (the failure mode that rules out lax.map'ing a pallas_call)."""
     n_pad, f = xu_pad.shape
     n_tiles = n_pad // col_tile
+    n_blocks = n_pad // block_rows
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,   # eps, n_real, row_start
-        grid=(n_tiles,),
+        num_scalar_prefetch=2,   # eps, n_real
+        grid=(n_blocks, n_tiles),
         in_specs=[
-            pl.BlockSpec((block_rows, f), lambda t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),    # rows (fixed per call)
-            pl.BlockSpec((col_tile, f), lambda t, *_: (t, 0),
+            pl.BlockSpec((block_rows, f), lambda rb, t, *_: (rb, 0),
+                         memory_space=pltpu.VMEM),    # row block rb
+            pl.BlockSpec((col_tile, f), lambda rb, t, *_: (t, 0),
                          memory_space=pltpu.VMEM),    # column tile t
         ],
         out_specs=[
-            pl.BlockSpec((block_rows, k), lambda t, *_: (0, 0),
+            pl.BlockSpec((block_rows, k), lambda rb, t, *_: (rb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, k), lambda t, *_: (0, 0),
+            pl.BlockSpec((block_rows, k), lambda rb, t, *_: (rb, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -148,47 +157,35 @@ def _knn_pallas_block(xu_pad, rows, eps_arr, nreal_arr, row_start, *, k,
         ],
     )
     kernel = pl.pallas_call(
-        functools.partial(_knn_block_kernel, k=k, col_tile=col_tile),
+        functools.partial(_knn_block_kernel, k=k, col_tile=col_tile,
+                          block_rows=block_rows),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((block_rows, k), jnp.float32),
-            jax.ShapeDtypeStruct((block_rows, k), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k), jnp.int32),
         ],
-        # The unrolled k-extraction keeps several [B, k+T] temporaries
-        # live; raise the scoped-VMEM budget above the 16 MB default.
+        # The lazy-merge loop keeps several [B, T] temporaries live; raise
+        # the scoped-VMEM budget above the 16 MB default, scaling with the
+        # tile footprint (d/col_ids/row_ids are each B*T*4 bytes).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
+            vmem_limit_bytes=max(64, 14 * block_rows * col_tile // (1 << 20))
+            * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )
-    return kernel(eps_arr, nreal_arr, row_start, rows, xu_pad)
-
-
-def _knn_pallas_all(xu_pad, eps, n_real, *, k, block_rows, col_tile,
-                    interpret=False):
-    n_pad, f = xu_pad.shape
-    n_blocks = n_pad // block_rows
-    xu_pad = xu_pad.astype(jnp.float32)
-    eps_arr = jnp.asarray([eps], dtype=jnp.float32).reshape(1)
-    nreal_arr = jnp.asarray([n_real], dtype=jnp.int32).reshape(1)
-    outs = []
-    for b in range(n_blocks):   # async dispatches pipeline on-device
-        rows = jax.lax.dynamic_slice(
-            xu_pad, (b * block_rows, 0), (block_rows, f))
-        row_start = jnp.asarray([b * block_rows], dtype=jnp.int32)
-        outs.append(_knn_pallas_block(
-            xu_pad, rows, eps_arr, nreal_arr, row_start, k=k,
-            block_rows=block_rows, col_tile=col_tile, interpret=interpret))
-    d = jnp.concatenate([o[0] for o in outs], axis=0)
-    i = jnp.concatenate([o[1] for o in outs], axis=0)
-    return d, i
+    return kernel(eps_arr, nreal_arr, xu_pad, xu_pad)
 
 
 def knn_graph_candidates_pallas(xu: jnp.ndarray, k: int, eps: float,
-                                block_rows: int = 1024, col_tile: int = 2048,
+                                block_rows: int = 256, col_tile: int = 2048,
                                 interpret: bool | None = None):
-    # Tile defaults from the 313k x 384 sweep on v5e: (1024, 2048) runs the
-    # full corpus in 6.95s vs 20.7s at (512, 512) — fewer grid steps
-    # amortize per-step overhead; fits the 64 MB scoped-VMEM budget.
+    # Tile defaults from the 313k x 384 single-dispatch sweeps on v5e:
+    # (256, 2048) runs the full corpus in 2.27-2.31s vs 2.45s (128, 2048),
+    # 2.50s (256, 4096), 2.90s (512, 4096), 3.26s (1024, 4096) and 5.69s
+    # (1024, 2048) — small row blocks keep the running-top-k scratch and
+    # merge temporaries VMEM-cheap, and one dispatch means tile choice no
+    # longer trades against per-call tunnel latency.  2048-row blocks fail
+    # Mosaic compile; identical outputs across configs (first-1000 idx
+    # match 1.0, equal eps-masked checksums).
     """Exact eps-filtered k-NN via the fused Pallas kernel.
 
     Same contract as ops.distance.knn_graph_candidates: (dist [N,k] f32,
@@ -204,8 +201,11 @@ def knn_graph_candidates_pallas(xu: jnp.ndarray, k: int, eps: float,
     lcm = int(np.lcm(tile, block))
     n_pad = ((max(n, lcm) + lcm - 1) // lcm) * lcm
     xu_pad = jnp.pad(xu.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
-    d, i = _knn_pallas_all(xu_pad, float(eps), n, k=k_eff, block_rows=block,
-                           col_tile=tile, interpret=interpret)
+    eps_arr = jnp.asarray([float(eps)], dtype=jnp.float32)
+    nreal_arr = jnp.asarray([n], dtype=jnp.int32)
+    d, i = _knn_pallas_all(xu_pad, eps_arr, nreal_arr, k=k_eff,
+                           block_rows=block, col_tile=tile,
+                           interpret=interpret)
     d, i = d[:n], i[:n]
     if k_eff < k:
         d = jnp.pad(d, ((0, 0), (0, k - k_eff)), constant_values=_INF_DIST)
