@@ -125,6 +125,25 @@ def test_pallas_knn_matches_xla():
         assert a == b, r
 
 
+def test_pallas_knn_multi_row_block_grid():
+    """Force a multi-block (row blocks x column tiles) grid so the per-block
+    scratch reinit of the single-dispatch kernel is exercised off-TPU: with
+    block_rows=col_tile=128 and n=300 (padded to 384), the grid is 3x3 and
+    every row block past the first reuses the VMEM top-k scratch."""
+    from pyarrowspace_tpu.ops.pallas.knn import knn_graph_candidates_pallas
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=(300, 32)).astype(np.float32)
+    xu = unit_normalize(jnp.asarray(x))
+    d1, i1 = knn_graph_candidates(xu, 7, 0.9)
+    d2, i2 = knn_graph_candidates_pallas(xu, 7, 0.9, block_rows=128,
+                                         col_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+    for r in range(300):
+        a = set(np.asarray(i1[r])[np.asarray(i1[r]) >= 0].tolist())
+        b = set(np.asarray(i2[r])[np.asarray(i2[r]) >= 0].tolist())
+        assert a == b, r
+
+
 def test_chunked_knn_matches_monolithic():
     from pyarrowspace_tpu.ops.distance import knn_graph_candidates_chunked
     rng = np.random.default_rng(29)
