@@ -42,7 +42,31 @@ except Exception:
 REFERENCE_BUILD_S = 744.07  # BASELINE.md: CVE 313,841 x 384, v0.17
 
 
+def _wait_backend():
+    """Retry transient tunnel outages at startup (bounded).
+
+    The axon TPU tunnel occasionally refuses grants for a few minutes
+    (observed: UNAVAILABLE at init after an interrupted run).  jax only
+    caches *successful* backend init (xla_bridge.backends: `if _backends:
+    return`), so re-calling jax.devices() genuinely retries.  Without
+    this, one cold refusal loses the whole benchmark run.
+    """
+    import jax
+    retries = int(os.environ.get("BENCH_BACKEND_RETRIES", 5))
+    for attempt in range(retries + 1):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if attempt == retries:
+                raise
+            print(f"# backend unavailable (attempt {attempt + 1}/"
+                  f"{retries}): {e}", file=sys.stderr)
+            time.sleep(60)
+
+
 def main():
+    _wait_backend()
     n = int(os.environ.get("BENCH_N", 313841))
     f = int(os.environ.get("BENCH_F", 384))
     # CVE harness graph params (reference tests/test_2_CVE_db.py:33-39).
