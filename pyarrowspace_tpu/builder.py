@@ -127,6 +127,23 @@ class ArrowSpaceBuilder:
         return build_standard(items, gp)
 
     @staticmethod
+    def extend(aspace: ArrowSpace, gl: GraphLaplacian, new_items,
+               config: Optional[BuildConfig] = None
+               ) -> tuple[ArrowSpace, GraphLaplacian]:
+        """Append items to a built index without redoing the old-corpus
+        k-NN scan (beyond the reference — it rebuilds every run).
+
+        Returns a NEW (ArrowSpace, GraphLaplacian) pair equal to
+        `build(graph_params, concat(old, new))` (bit-identical with the
+        XLA k-NN backend; see graph/extend.py).  Pass the BuildConfig the
+        index was built with when it wasn't the default.
+        """
+        from .graph.extend import extend_build
+        return extend_build(aspace, gl, new_items,
+                            config if config is not None
+                            else DEFAULT_BUILD_CONFIG)
+
+    @staticmethod
     def build_energy(items,
                      energy_params: Optional[Mapping[str, Any]] = None,
                      graph_params: Optional[Mapping[str, Any]] = None

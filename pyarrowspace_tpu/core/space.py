@@ -61,6 +61,11 @@ class ArrowSpace:
         # Optional reduction / energy artifacts (set by the energy builder).
         self._centroids: Optional[jnp.ndarray] = kwargs.get("centroids")
         self._assignments: Optional[jnp.ndarray] = kwargs.get("assignments")
+        # Directed k-NN candidates from the build scan ([N, k] each, the
+        # pre-symmetrize state).  Kept so ArrowSpaceBuilder.extend can
+        # append items without redoing the O(N_old^2 F) corpus scan.
+        self._knn_dist: Optional[jnp.ndarray] = kwargs.get("knn_dist")
+        self._knn_idx: Optional[jnp.ndarray] = kwargs.get("knn_idx")
 
     @classmethod
     def _from_build(cls, **kwargs) -> "ArrowSpace":

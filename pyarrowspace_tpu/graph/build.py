@@ -261,6 +261,18 @@ def _build_standard_inner(items, gp: GraphParams,
                                                 col_tile=config.col_tile)
         d.block_until_ready()
 
+    return _assemble_from_knn(stored, xu, d, i, gp, config)
+
+
+def _assemble_from_knn(stored, xu, d, i, gp: GraphParams,
+                       config: BuildConfig
+                       ) -> tuple[ArrowSpace, GraphLaplacian]:
+    """Everything downstream of the k-NN candidate scan: weights ->
+    symmetrize -> reduction -> feature Laplacian -> lambdas.  Shared by
+    the standard build and the incremental extend (graph/extend.py) so
+    the two paths cannot drift."""
+    n, f = stored.shape
+    sigma = gp.sigma_resolved
     with phase("weights"):
         w = kernel_weights(d, sigma, gp.p)
         w = jnp.where(i >= 0, w, 0.0)
@@ -321,7 +333,8 @@ def _build_standard_inner(items, gp: GraphParams,
         data=stored, data_unit=xu, lambdas=lambdas, e_raw=e_raw,
         lap_f=lap_f, w_f=w_f, tau_star=tau_star, params=gp,
         rayleigh_normalized=config.rayleigh_normalized, tau_mix=tau_mix,
-        centroids=centroids, assignments=assignments)
+        centroids=centroids, assignments=assignments,
+        knn_dist=d, knn_idx=i)
     dbg_println(
         f"built ArrowSpace: nitems={aspace.nitems}, "
         f"nfeatures={aspace.nfeatures}, lambdas_len={aspace.nitems}")

@@ -57,6 +57,11 @@ def save_index(path: str, aspace: ArrowSpace, gl: GraphLaplacian) -> None:
     if aspace._centroids is not None:
         arrays["centroids"] = np.asarray(aspace._centroids)
         arrays["assignments"] = np.asarray(aspace._assignments)
+    if aspace._knn_dist is not None:
+        # Directed k-NN build state — lets a loaded index keep accepting
+        # ArrowSpaceBuilder.extend appends.
+        arrays["knn_dist"] = np.asarray(aspace._knn_dist)
+        arrays["knn_idx"] = np.asarray(aspace._knn_idx)
     emaps = getattr(aspace, "_energy_maps", None)
     if emaps is not None:
         arrays["em_nodes"] = np.asarray(emaps.nodes)
@@ -100,7 +105,9 @@ def load_index(path: str) -> tuple[ArrowSpace, GraphLaplacian]:
         tau_mix=manifest["tau_mix"],
         centroids=jnp.asarray(z["centroids"]) if "centroids" in z else None,
         assignments=(jnp.asarray(z["assignments"])
-                     if "assignments" in z else None))
+                     if "assignments" in z else None),
+        knn_dist=jnp.asarray(z["knn_dist"]) if "knn_dist" in z else None,
+        knn_idx=jnp.asarray(z["knn_idx"]) if "knn_idx" in z else None)
     if "em_nodes" in z:
         from ..energy.maps import EnergyMaps
         aspace._energy_maps = EnergyMaps(

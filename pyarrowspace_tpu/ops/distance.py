@@ -228,6 +228,97 @@ def knn_graph_candidates(xu: jnp.ndarray, k: int, eps: float,
     return d, i
 
 
+def extend_knn_candidates(xu_all: jnp.ndarray, d_old: jnp.ndarray,
+                          i_old: jnp.ndarray, n_old: int, k: int, eps: float,
+                          row_chunk: int = 16384, col_tile: int = 2048):
+    """Incremental exact k-NN: append xu_all[n_old:] to a corpus whose
+    directed top-k over xu_all[:n_old] is already known.
+
+    Equals knn_graph_candidates_chunked(xu_all, k, eps) without redoing the
+    old x old scan:
+
+    * old rows merge the stored top-k with candidates among the NEW columns
+      only (the stored buffer rides first in the top_k concat, so earlier-
+      seen entries win distance ties exactly as in the full scan);
+    * new rows scan the whole corpus.
+
+    Work is O((n_old + n) * m * F) for m appended rows vs O(n^2 F) for a
+    rebuild.  Exactness argument: column tiles cover the same global index
+    ranges as a full scan (tile t is cols [t*tile, (t+1)*tile) regardless
+    of corpus length), lax.top_k is stable, and insertion requires strict
+    improvement past the running kth — so the merged buffers evolve
+    identically to the full scan's.
+    """
+    n, f = xu_all.shape
+    m = n - n_old
+    if m <= 0:
+        return d_old, i_old
+    k_eff = max(1, min(k, n - 1)) if n > 1 else 1
+    eps_t = jnp.asarray(eps, dtype=xu_all.dtype)
+    n_real = jnp.int32(n)
+
+    # --- old rows: merge the new-column block into the stored top-k ------
+    tile_new = min(col_tile, _ceil_to(m, 128))
+    m_pad = _ceil_to(m, tile_new)
+    seg_new = jnp.pad(xu_all[n_old:], ((0, m_pad - m), (0, 0)))
+    # Stored buffers may be width-k padded past k_eff of the small build;
+    # top_k below re-selects at today's k_eff and re-pads at the end.
+    bd_old = d_old[:, :k_eff] if d_old.shape[1] >= k_eff else jnp.pad(
+        d_old, ((0, 0), (0, k_eff - d_old.shape[1])),
+        constant_values=_INF_DIST)
+    bi_old = i_old[:, :k_eff] if i_old.shape[1] >= k_eff else jnp.pad(
+        i_old, ((0, 0), (0, k_eff - i_old.shape[1])), constant_values=-1)
+    out_d, out_i = [], []
+    chunk = min(row_chunk, _ceil_to(n_old, 128))
+    n_old_pad = _ceil_to(n_old, chunk)
+    xu_old_pad = jnp.pad(xu_all[:n_old], ((0, n_old_pad - n_old), (0, 0)))
+    bd_pad = jnp.pad(bd_old, ((0, n_old_pad - n_old), (0, 0)),
+                     constant_values=_INF_DIST)
+    bi_pad = jnp.pad(bi_old, ((0, n_old_pad - n_old), (0, 0)),
+                     constant_values=-1)
+    for r0 in range(0, n_old_pad, chunk):
+        rows = jax.lax.dynamic_slice(xu_old_pad, (r0, 0), (chunk, f))
+        bd = jax.lax.dynamic_slice(bd_pad, (r0, 0), (chunk, k_eff))
+        bi = jax.lax.dynamic_slice(bi_pad, (r0, 0), (chunk, k_eff))
+        bd, bi = _merge_segment(rows, seg_new, bd, bi, jnp.int32(r0),
+                                jnp.int32(n_old), n_real, eps_t,
+                                k=k_eff, col_tile=tile_new)
+        out_d.append(bd)
+        out_i.append(bi)
+
+    # --- new rows: scan the whole corpus ---------------------------------
+    tile = min(col_tile, _ceil_to(n, 128))
+    seg_len = _ceil_to(n, tile)
+    xu_pad = jnp.pad(xu_all, ((0, seg_len - n), (0, 0)))
+    chunk_new = min(row_chunk, m_pad)
+    rows_pad = jnp.pad(xu_all[n_old:],
+                       ((0, _ceil_to(m, chunk_new) - m), (0, 0)))
+    new_d, new_i = [], []
+    for r0 in range(0, rows_pad.shape[0], chunk_new):
+        rows = jax.lax.dynamic_slice(rows_pad, (r0, 0), (chunk_new, f))
+        bd = jnp.full((chunk_new, k_eff), _INF_DIST, dtype=xu_all.dtype)
+        bi = jnp.full((chunk_new, k_eff), -1, dtype=jnp.int32)
+        bd, bi = _merge_segment(rows, xu_pad, bd, bi, jnp.int32(n_old + r0),
+                                jnp.int32(0), n_real, eps_t,
+                                k=k_eff, col_tile=tile)
+        new_d.append(bd)
+        new_i.append(bi)
+
+    d = jnp.concatenate(out_d + new_d, axis=0)
+    d = jnp.concatenate([d[:n_old], d[n_old_pad:n_old_pad + m]]) \
+        if n_old_pad != n_old else d[:n]
+    i = jnp.concatenate(out_i + new_i, axis=0)
+    i = jnp.concatenate([i[:n_old], i[n_old_pad:n_old_pad + m]]) \
+        if n_old_pad != n_old else i[:n]
+    keep = d <= eps_t
+    d = jnp.where(keep, d, _INF_DIST)
+    i = jnp.where(keep, i, -1)
+    if k_eff < k:
+        d = jnp.pad(d, ((0, 0), (0, k - k_eff)), constant_values=_INF_DIST)
+        i = jnp.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return d, i
+
+
 def kernel_weights(dist: jnp.ndarray, sigma: float, p: float) -> jnp.ndarray:
     """Edge-weight kernel w = 1 / (1 + (d / sigma)^p)
     (reference GRAPH_VARIABLES.md:7-10)."""
