@@ -46,6 +46,14 @@ def main():
     # on-device RNG.
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (n, f), dtype=jnp.float32)
+    if os.environ.get("SERV_MIXTURE", "0") == "1":
+        # Gaussian-mixture corpus (embedding corpora are clustered; pure
+        # iid gaussian has no structure for IVF routing to exploit).
+        k_mix = int(os.environ.get("SERV_CLUSTERS", 4096))
+        kc, ka = jax.random.split(jax.random.PRNGKey(1))
+        centers = jax.random.normal(kc, (k_mix, f), dtype=jnp.float32)
+        assign_mix = jax.random.randint(ka, (n,), 0, k_mix)
+        x = centers[assign_mix] + 0.35 * x
     xu = unit_normalize(x)
     w_f, lap_f, _ = build_feature_laplacian(x[:65536], k_f=15)
     e = rayleigh_batch(x, lap_f, normalized=False)
@@ -150,6 +158,48 @@ def main():
     ov_s = float(np.mean([len(set(ie[i][:k_ov]) & set(isb[i][:k_ov]))
                           / k_ov for i in range(q_batch)]))
     print(f"subtile top-{k_ov} overlap vs exact f32: {ov_s:.4f}")
+
+    # Blocked IVF (opt-in): cluster-contiguous Pallas slab kernel — the
+    # approximate large-corpus mode (`search_batch(mode="ivf_block")`).
+    # Slab HBM is capacity_factor * corpus (6 GB at 1M x 768, cf=2), so
+    # it runs after the quantized state is freed.
+    if os.environ.get("SERV_IVF_BLOCK", "0") == "1":
+        del st, outs_s, warm  # slabs need ~2x corpus HBM; free the rest
+        from pyarrowspace_tpu.ops.pallas.ivf_scan import (blocked_ivf_search,
+                                                          build_blocked_ivf)
+        from pyarrowspace_tpu.reduction.pipeline import _lloyd
+        k_cl = int(os.environ.get("SERV_CLUSTERS", 4096))
+        n_probe = int(os.environ.get("SERV_NPROBE", 16))
+        sel = jnp.asarray(rng.choice(n, size=k_cl, replace=False))
+        cents, assigns = _lloyd(xu, xu[sel], 8)
+        ivf_b = build_blocked_ivf(xu, lam32, np.asarray(cents),
+                                  np.asarray(assigns))
+        ivf_b.slabs.block_until_ready()
+        # Query lambdas via the standard synthesis (same as served modes).
+        def _lam_q(qb):
+            qn = unit_normalize(qb)
+            e_un = rayleigh_batch(qn, lap_f, normalized=False)
+            gq = dispersion_batch(qn, w_f, e_un)
+            return qn, synthesize(e_un, gq, ts, TAU_MIX)
+        qn0, lamq0 = _lam_q(query_batches[-1])
+        warm = blocked_ivf_search(ivf_b, qn0, lamq0, tau, topk,
+                                  n_probe=n_probe)
+        _ = np.asarray(warm[0])
+        t0 = time.perf_counter()
+        outs_b = []
+        for qb in query_batches:
+            qn_b, lamq_b = _lam_q(qb)
+            outs_b.append(blocked_ivf_search(ivf_b, qn_b, lamq_b, tau,
+                                             topk, n_probe=n_probe))
+        _ = [int(np.asarray(o[0])[0, 0]) for o in outs_b]
+        dt = time.perf_counter() - t0
+        print(f"ivf_block n_probe={n_probe} ({k_cl} clusters): "
+              f"{q_batch * reps / dt:,.0f} QPS "
+              f"({dt / reps * 1000:.1f} ms/batch of {q_batch})")
+        ib = np.asarray(outs_b[0][0])
+        ov_b = float(np.mean([len(set(ie[i][:k_ov]) & set(ib[i][:k_ov]))
+                              / k_ov for i in range(q_batch)]))
+        print(f"ivf_block top-{k_ov} overlap vs exact f32: {ov_b:.4f}")
 
     # IVF mode (opt-in): the current gather-based IVF materializes
     # [Qb, n_probe*cap, F] candidates, which is fine up to ~100k items but
