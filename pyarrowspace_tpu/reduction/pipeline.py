@@ -83,16 +83,39 @@ def twonn_intrinsic_dim(x, seed: int = 42,
     return dim, mean_log_mu
 
 
+_ASSIGN_BLOCK_ELEMS = 2 ** 27  # d2 tile budget: 128M f32 elems = 512 MB
+
+
+def _assign_argmin(x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-centroid assignment that never materializes a [N, K]
+    distance matrix beyond the element budget (16 GB at 1M rows x 4096
+    centroids — more than a v5e's HBM).  Large inputs are processed in
+    shape-stable row blocks via lax.map; per-row arithmetic is unchanged,
+    so assignments are identical to the one-shot path."""
+    n, k = x.shape[0], c.shape[0]
+    c_sq = jnp.sum(c * c, axis=1)[None, :]
+
+    def block_assign(xb):
+        d2 = (jnp.sum(xb * xb, axis=1)[:, None] + c_sq
+              - 2.0 * jnp.matmul(xb, c.T, preferred_element_type=x.dtype))
+        return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    if n * k <= _ASSIGN_BLOCK_ELEMS:
+        return block_assign(x)
+    block = max(8, (_ASSIGN_BLOCK_ELEMS // k) // 8 * 8)
+    n_pad = ((n + block - 1) // block) * block
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    a = jax.lax.map(block_assign, xp.reshape(n_pad // block, block, -1))
+    return a.reshape(n_pad)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters",))
 def _lloyd(x: jnp.ndarray, centroids: jnp.ndarray, n_iters: int):
     """Fixed-iteration Lloyd's K-means; empty clusters keep their centroid."""
     k = centroids.shape[0]
 
     def assign(c):
-        d2 = (jnp.sum(x * x, axis=1)[:, None]
-              + jnp.sum(c * c, axis=1)[None, :]
-              - 2.0 * jnp.matmul(x, c.T, preferred_element_type=x.dtype))
-        return jnp.argmin(d2, axis=1).astype(jnp.int32)
+        return _assign_argmin(x, c)
 
     def step(c, _):
         a = assign(c)
@@ -160,10 +183,8 @@ def reduce_corpus(x: np.ndarray | jnp.ndarray, seed: int = 42,
     init_sel = jnp.asarray(rng.choice(n_keep, size=k, replace=False))
     centroids, _ = _lloyd(xs, xs[init_sel], n_iters)
 
-    # Assign the FULL corpus to the learned centroids.
-    d2 = (jnp.sum(x * x, axis=1)[:, None]
-          + jnp.sum(centroids * centroids, axis=1)[None, :]
-          - 2.0 * jnp.matmul(x, centroids.T, preferred_element_type=x.dtype))
-    assignments = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    # Assign the FULL corpus to the learned centroids (blockwise above the
+    # element budget — [N, K] alone can exceed HBM at IVF cluster counts).
+    assignments = jax.jit(_assign_argmin)(x, centroids)
     return ReductionResult(centroids=centroids, assignments=assignments,
                            intrinsic_dim=idim, n_sampled=n_keep, k_clusters=k)

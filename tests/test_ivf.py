@@ -80,3 +80,19 @@ def test_blocked_ivf_full_probe_is_exact(built):
                                  n_probe=40)
     assert np.array_equal(ei, bi)
     np.testing.assert_allclose(ev, bv, rtol=1e-5)
+
+
+def test_assign_argmin_blocked_matches_oneshot(monkeypatch):
+    """Blockwise nearest-centroid assignment (HBM-bounded path for IVF
+    cluster counts) is identical to the one-shot [N, K] computation."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.reduction import pipeline as rp
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1003, 24)))   # non-multiple of block
+    c = jnp.asarray(rng.normal(size=(37, 24)))
+    ref = np.asarray(rp._assign_argmin(x, c))
+    monkeypatch.setattr(rp, "_ASSIGN_BLOCK_ELEMS", 37 * 64)  # force blocking
+    blocked = np.asarray(rp._assign_argmin(x, c))
+    assert np.array_equal(ref, blocked)
+    assert blocked.shape == (1003,)
