@@ -494,6 +494,51 @@ def _sharded_search_subtile(xs_pad, xf_pad, lam_pad, q, lap_f, w_f,
               jnp.asarray(tau))
 
 
+def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
+                              lap_f, w_f, tau_star, tau, *, topk, cap,
+                              n_probe, mesh, tau_mix, rayleigh_normalized,
+                              interpret):
+    """Sharded blocked IVF: clusters partition across the mesh (contiguous
+    slab ranges per device), each shard routes queries against its LOCAL
+    centroids and probes its local top-n_probe clusters, then an
+    all_gather merges per-shard top-k.  The probe union covers every
+    shard, so recall >= the single-chip mode at equal n_probe; per-chip
+    scan work is the same n_probe slabs.  slab_ids are global item ids,
+    so no offset arithmetic crosses the merge."""
+    from ..ops.pallas.ivf_scan import _blocked_ivf_jit
+
+    n_q = q.shape[0]
+    qb = min(16, max(8, 1 << (n_q - 1).bit_length()))
+
+    def body(cu, slabs, lam_s, ids_s, qb_, lap, wf, ts, tt):
+        e_un = rayleigh_batch(qb_, lap, normalized=False)
+        e = (rayleigh_batch(qb_, lap, normalized=True)
+             if rayleigh_normalized else e_un)
+        g = dispersion_batch(qb_, wf, e_un)
+        lq = synthesize(e, g, ts, tau_mix).astype(jnp.float32)
+        qn = unit_normalize(qb_.astype(jnp.float32), axis=-1)
+        k_local = cu.shape[0]
+        idx, vals = _blocked_ivf_jit(
+            cu, slabs, lam_s, ids_s, qn, lq, tt.astype(jnp.float32),
+            k=topk, qb=qb, q=n_q, cap=cap,
+            n_probe=min(n_probe, k_local), interpret=interpret)
+        all_vals = jax.lax.all_gather(vals, DATA_AXIS)
+        all_idx = jax.lax.all_gather(idx, DATA_AXIS)
+        d = all_vals.shape[0]
+        mv = jnp.transpose(all_vals, (1, 0, 2)).reshape(n_q, d * topk)
+        mi = jnp.transpose(all_idx, (1, 0, 2)).reshape(n_q, d * topk)
+        fv, fpos = jax.lax.top_k(mv, topk)
+        fi = jnp.take_along_axis(mi, fpos, axis=1)
+        return fi, fv
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                             P(DATA_AXIS), P(), P(), P(), P(), P()),
+                   out_specs=(P(), P()), check_vma=False)
+    return fn(cu_pad, slabs_pad, lam_s_pad, ids_pad, q, lap_f, w_f,
+              tau_star, jnp.asarray(tau))
+
+
 @functools.partial(jax.jit, static_argnames=("topk", "mesh", "tau_mix",
                                              "rayleigh_normalized"))
 def _sharded_search_hybrid(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star,
@@ -660,21 +705,66 @@ class ShardedArrowSpace:
                 jax.device_put(lam, row))
         return self._subtile_pad
 
+    def _ensure_ivf_block_state(self):
+        """Cluster-partitioned blocked-IVF layout: centroids pad to a
+        multiple of n_dev and shard by rows, so the [K*cap, F] slab array
+        shards into contiguous per-device cluster ranges.  Requires the
+        space to carry centroids/assignments (the build's reduction stage
+        provides them; from_local forwards them)."""
+        if getattr(self, "_ivf_block_pad", None) is None:
+            if self._centroids is None or self._assignments is None:
+                raise ValueError(
+                    "ivf_block needs centroids/assignments; build with the "
+                    "reduction stage or call enable_ivf() on the local "
+                    "space before from_local")
+            from ..ops.pallas.ivf_scan import build_blocked_ivf
+            n_dev = self.mesh.devices.size
+            cents = np.asarray(self._centroids)
+            k = cents.shape[0]
+            k_pad = ((k + n_dev - 1) // n_dev) * n_dev
+            cents = np.pad(cents, ((0, k_pad - k), (0, 0)))
+            ivf = build_blocked_ivf(
+                self._xu_pad[: self._n_real].astype(jnp.float32),
+                self._lambdas_pad[: self._n_real].astype(jnp.float32),
+                cents, np.asarray(self._assignments))
+            row = NamedSharding(self.mesh, P(DATA_AXIS))
+            self._ivf_block_pad = (
+                jax.device_put(ivf.centroids_unit, row),
+                jax.device_put(ivf.slabs, row),
+                jax.device_put(ivf.slab_lambdas, row),
+                jax.device_put(ivf.slab_ids, row),
+                ivf.cap)
+        return self._ivf_block_pad
+
     def search_batch(self, queries, tau: float, topk: Optional[int] = None,
-                     mode: str = "exact"):
+                     mode: str = "exact", n_probe: int = 16):
         """(indices [Q, topk], scores [Q, topk]) — the multi-chip serving
         path; per-query cross-chip traffic is d*topk candidates.
 
         mode "exact" scans the full local shard per chip; "subtile" runs
         the per-shard block-max routed scan (exact at its bf16 scan
-        dtype, f32-rescored — the highest-QPS mode, see
-        ArrowSpace.search_batch)."""
-        if mode not in ("exact", "subtile"):
+        dtype, f32-rescored — the highest-QPS exact mode, see
+        ArrowSpace.search_batch); "ivf_block" (approximate) partitions
+        the cluster slabs across chips, probing each shard's n_probe best
+        local clusters — recall >= the single-chip mode at equal
+        n_probe."""
+        if mode not in ("exact", "subtile", "ivf_block"):
             raise ValueError(f"unknown search mode {mode!r}; expected "
-                             "'exact' or 'subtile'")
+                             "'exact', 'subtile', or 'ivf_block'")
         q = jnp.asarray(queries, dtype=self._stored_pad.dtype)
         topk = self._params.topk if topk is None else int(topk)
         topk = min(topk, self._n_real)
+        if mode == "ivf_block":
+            cu, slabs, lam_s, ids, cap = self._ensure_ivf_block_state()
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            idx, vals = _sharded_search_ivf_block(
+                cu, slabs, lam_s, ids, q, self._lap_f, self._w_f,
+                self._tau_star, jnp.asarray(tau, dtype=q.dtype),
+                topk=topk, cap=cap, n_probe=n_probe, mesh=self.mesh,
+                tau_mix=self._tau_mix,
+                rayleigh_normalized=self._rayleigh_normalized,
+                interpret=interpret)
+            return np.asarray(idx), np.asarray(vals)
         if mode == "subtile":
             xs, xf, lam = self._ensure_subtile_state()
             idx, vals = _sharded_search_subtile(

@@ -401,3 +401,31 @@ def test_streaming_ingest_feeds_identical_build():
     sspace, _ = build_sharded(corpus, gp)
     np.testing.assert_allclose(sspace.lambdas(), aspace.lambdas(),
                                rtol=1e-8)
+
+
+def test_search_ivf_block_sharded(pair):
+    """Sharded blocked IVF: cluster slabs partition across the mesh; the
+    per-shard probe union must reach >= single-chip recall, and probing
+    every cluster must recover the exact top-k set."""
+    from pyarrowspace_tpu.parallel import ShardedArrowSpace
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(40, 32))
+    items = np.repeat(base, 50, axis=0) + 0.15 * rng.normal(size=(2000, 32))
+    gp = {"eps": 0.9, "k": 6, "topk": 10, "p": 2.0, "sigma": 0.3}
+    aspace, gl = ArrowSpaceBuilder.build(gp, items)
+    aspace.enable_ivf(n_clusters=40)
+    sspace = ShardedArrowSpace.from_local(aspace, gl, make_mesh(8))
+
+    queries = items[rng.choice(2000, 16, replace=False)] * 1.02
+    ei, _ = aspace.search_batch(queries, gl, 0.62)
+    si, _ = sspace.search_batch(queries, 0.62, mode="ivf_block", n_probe=16)
+    overlap = np.mean([len(set(ei[r].tolist()) & set(si[r].tolist())) / 10
+                       for r in range(16)])
+    assert overlap >= 0.85, overlap
+
+    # Full probe (every shard scans all its clusters) == exact top-k set.
+    fi, fv = sspace.search_batch(queries, 0.62, mode="ivf_block",
+                                 n_probe=40)
+    for r in range(16):
+        assert set(fi[r].tolist()) == set(ei[r].tolist()), r
