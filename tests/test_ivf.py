@@ -96,3 +96,39 @@ def test_assign_argmin_blocked_matches_oneshot(monkeypatch):
     blocked = np.asarray(rp._assign_argmin(x, c))
     assert np.array_equal(ref, blocked)
     assert blocked.shape == (1003,)
+
+
+def test_blocked_ivf_skewed_clusters_partition_and_exactness():
+    """Heavy cluster skew forces the overflow/spill path of
+    build_blocked_ivf: the slab layout must stay a partition (every item
+    exactly once) and full probing must still recover the exact top-k."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.ops.pallas.ivf_scan import (blocked_ivf_search,
+                                                      build_blocked_ivf)
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+
+    rng = np.random.default_rng(11)
+    n, f, k = 1500, 16, 12
+    x = rng.normal(size=(n, f))
+    xu = np.asarray(unit_normalize(jnp.asarray(x, dtype=jnp.float32)))
+    lams = rng.uniform(0.1, 0.9, size=n).astype(np.float32)
+    # 85% of items in cluster 0 -> far beyond cap, spills everywhere.
+    assign = np.where(rng.uniform(size=n) < 0.85, 0,
+                      rng.integers(1, k, size=n)).astype(np.int32)
+    cents = rng.normal(size=(k, f)).astype(np.float32)
+    ivf = build_blocked_ivf(jnp.asarray(xu), jnp.asarray(lams), cents,
+                            assign)
+    ids = np.asarray(ivf.slab_ids)
+    assert sorted(ids[ids >= 0].tolist()) == list(range(n))
+
+    q = xu[:8] * 1.01
+    lam_q = jnp.asarray(lams[:8])
+    bi, bv = blocked_ivf_search(ivf, jnp.asarray(q), lam_q, 0.62, 10,
+                                n_probe=k)
+    # Exact reference: full blended scan in f32.
+    cos = q @ xu.T
+    prox = 1.0 / (1.0 + np.abs(lams[None, :] - lams[:8, None]))
+    score = 0.62 * cos + 0.38 * prox
+    for r in range(8):
+        exact_top = set(np.argsort(-score[r])[:10].tolist())
+        assert set(np.asarray(bi)[r].tolist()) == exact_top, r
