@@ -230,11 +230,14 @@ def _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
     # with the highest summed routing score.
     n_vote = min(2, sims_pad.shape[1])
     _, top2 = jax.lax.top_k(sims_pad, n_vote)
-    votes = jnp.zeros(sims_pad.shape, dtype=jnp.float32)
-    rows = jnp.broadcast_to(
-        jnp.arange(sims_pad.shape[0])[:, None], top2.shape)
-    votes = votes.at[rows.reshape(-1), top2.reshape(-1)].add(1.0)
-    block_votes = jnp.sum(votes.reshape(q_pad // qb, qb, -1), axis=1)
+    # Scatter votes straight into the [n_blocks, K] table (a [Q_pad, K]
+    # intermediate is 256 MB at Q=16k, K=4096 — pure waste).
+    block_ids = jnp.broadcast_to(
+        (jnp.arange(q_pad) // qb)[:, None], top2.shape)
+    block_votes = jnp.zeros((q_pad // qb, sims_pad.shape[1]),
+                            dtype=jnp.float32)
+    block_votes = block_votes.at[block_ids.reshape(-1),
+                                 top2.reshape(-1)].add(1.0)
     block_sims = jnp.sum(sims_pad.reshape(q_pad // qb, qb, -1), axis=1)
     sims_01 = (block_sims - block_sims.min()) / jnp.maximum(
         block_sims.max() - block_sims.min(), 1e-9)
