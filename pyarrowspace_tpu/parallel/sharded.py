@@ -741,16 +741,20 @@ class ShardedArrowSpace:
         """(indices [Q, topk], scores [Q, topk]) — the multi-chip serving
         path; per-query cross-chip traffic is d*topk candidates.
 
-        mode "exact" scans the full local shard per chip; "subtile" runs
-        the per-shard block-max routed scan (exact at its bf16 scan
-        dtype, f32-rescored — the highest-QPS exact mode, see
-        ArrowSpace.search_batch); "ivf_block" (approximate) partitions
-        the cluster slabs across chips, probing each shard's n_probe best
-        local clusters — recall >= the single-chip mode at equal
-        n_probe."""
-        if mode not in ("exact", "subtile", "ivf_block"):
+        mode "auto" picks the fastest exact-quality mode by PER-SHARD
+        corpus size (the routing stages amortize per chip); "exact" scans
+        the full local shard per chip; "subtile" runs the per-shard
+        block-max routed scan (exact at its bf16 scan dtype, f32-rescored
+        — the highest-QPS exact mode, see ArrowSpace.search_batch);
+        "ivf_block" (approximate) partitions the cluster slabs across
+        chips, probing each shard's n_probe best local clusters — recall
+        >= the single-chip mode at equal n_probe."""
+        if mode not in ("auto", "exact", "subtile", "ivf_block"):
             raise ValueError(f"unknown search mode {mode!r}; expected "
-                             "'exact', 'subtile', or 'ivf_block'")
+                             "'auto', 'exact', 'subtile', or 'ivf_block'")
+        if mode == "auto":
+            per_shard = self._n_real // max(1, self.mesh.devices.size)
+            mode = "subtile" if per_shard >= 131_072 else "exact"
         q = jnp.asarray(queries, dtype=self._stored_pad.dtype)
         topk = self._params.topk if topk is None else int(topk)
         topk = min(topk, self._n_real)

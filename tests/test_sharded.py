@@ -429,3 +429,14 @@ def test_search_ivf_block_sharded(pair):
                                  n_probe=40)
     for r in range(16):
         assert set(fi[r].tolist()) == set(ei[r].tolist()), r
+
+
+def test_search_auto_mode_sharded(pair):
+    """mode="auto" routes by per-shard size (exact at this tiny scale) and
+    matches the explicit exact mode."""
+    (sspace, _), (aspace, gl), items = pair
+    queries = items[:4] * 1.03
+    ai, av = sspace.search_batch(queries, 0.62, mode="auto")
+    ei, ev = sspace.search_batch(queries, 0.62, mode="exact")
+    assert np.array_equal(ai, ei)
+    np.testing.assert_allclose(av, ev, rtol=1e-12)
