@@ -79,8 +79,11 @@ def build_blocked_ivf(xu, lambdas, centroids, assignments,
     valid = slot >= 0
     safe_dev = jnp.asarray(np.where(valid, slot, 0).astype(np.int32))
     valid_dev = jnp.asarray(valid)
-    slabs = jnp.where(valid_dev[:, None],
-                      jnp.asarray(xu, dtype=jnp.float32)[safe_dev], 0.0)
+    # Padded slots carry a duplicate of row 0 — NOT zeroed: the scan
+    # kernel masks them by id < 0 (score -> -inf) and their lambda=+inf
+    # zeroes the proximity term, and the extra jnp.where would double the
+    # 6.4 GB gather output at 1M x 768 (HBM peak, not correctness).
+    slabs = jnp.asarray(xu, dtype=jnp.float32)[safe_dev]
     lam = jnp.where(valid_dev,
                     jnp.asarray(lambdas, dtype=jnp.float32)[safe_dev],
                     jnp.inf)
