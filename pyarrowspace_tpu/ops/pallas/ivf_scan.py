@@ -31,8 +31,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .scan_topk import _lazy_merge
+
 _NEG_INF = -3.0e38
-_INT_MAX = jnp.iinfo(jnp.int32).max
 
 
 class BlockedIVF(NamedTuple):
@@ -116,35 +117,7 @@ def _ivf_kernel(probe_ref, tau_ref, qn_ref, lamq_ref, slab_ref, lam_ref,
     ids_b = jnp.broadcast_to(ids, (nq, cap)).astype(jnp.int32)
     score = jnp.where(ids_b < 0, _NEG_INF, score).astype(jnp.float32)
 
-    col_k = jax.lax.broadcasted_iota(jnp.int32, (nq, k), 1)
-
-    def improving(carry):
-        sc, rs, _ = carry
-        return jnp.any(jnp.max(sc, axis=1, keepdims=True) > rs[:, k - 1:k])
-
-    def extract_insert(carry):
-        sc, rs, ri = carry
-        kth = rs[:, k - 1:k]
-        m = jnp.max(sc, axis=1, keepdims=True)
-        hit = sc == m
-        sel = jnp.min(jnp.where(hit, ids_b, _INT_MAX), axis=1,
-                      keepdims=True)
-        improves = m > kth
-        pos = jnp.sum((rs > m).astype(jnp.int32), axis=1, keepdims=True)
-        rs_shift = jnp.concatenate([rs[:, :1], rs[:, :-1]], axis=1)
-        ri_shift = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
-        ins_s = jnp.where(col_k < pos, rs,
-                          jnp.where(col_k == pos, m, rs_shift))
-        ins_i = jnp.where(col_k < pos, ri,
-                          jnp.where(col_k == pos, sel, ri_shift))
-        rs = jnp.where(improves, ins_s, rs)
-        ri = jnp.where(improves, ins_i, ri)
-        sc = jnp.where(hit & (ids_b == sel), _NEG_INF, sc)
-        sc = jnp.where(improves, sc, _NEG_INF)
-        return sc, rs, ri
-
-    _, rs, ri = jax.lax.while_loop(improving, extract_insert,
-                                   (score, run_s[:], run_i[:]))
+    rs, ri = _lazy_merge(score, ids_b, run_s[:], run_i[:], k=k)
     run_s[:] = rs
     run_i[:] = ri
 
@@ -162,8 +135,10 @@ def _ivf_scan(slabs, lam_pad, id_pad, qn_pad, lamq_pad, probe_tbl, tau, *,
     n_qblocks = q_pad // q_block
     tau_arr = jnp.asarray([tau], dtype=jnp.float32).reshape(1)
 
+    # The probe table prefetches FLAT: 2-D SMEM tables lane-pad 8x and
+    # blow the ~1 MB SMEM budget at large query batches (CLAUDE.md rule).
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,   # probe table, tau
+        num_scalar_prefetch=2,   # probe table (flat), tau
         grid=(n_qblocks, n_probe),
         in_specs=[
             pl.BlockSpec((q_block, f), lambda qb, p, probe, tau: (qb, 0),
@@ -171,13 +146,16 @@ def _ivf_scan(slabs, lam_pad, id_pad, qn_pad, lamq_pad, probe_tbl, tau, *,
             pl.BlockSpec((q_block, 128), lambda qb, p, probe, tau: (qb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cap, f),
-                         lambda qb, p, probe, tau: (probe[qb, p], 0),
+                         lambda qb, p, probe, tau:
+                             (probe[qb * n_probe + p], 0),
                          memory_space=pltpu.VMEM),     # probed cluster slab
             pl.BlockSpec((1, cap),
-                         lambda qb, p, probe, tau: (0, probe[qb, p]),
+                         lambda qb, p, probe, tau:
+                             (0, probe[qb * n_probe + p]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cap),
-                         lambda qb, p, probe, tau: (0, probe[qb, p]),
+                         lambda qb, p, probe, tau:
+                             (0, probe[qb * n_probe + p]),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -201,7 +179,8 @@ def _ivf_scan(slabs, lam_pad, id_pad, qn_pad, lamq_pad, probe_tbl, tau, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
-    )(probe_tbl, tau_arr, qn_pad, lamq_pad, slabs, lam_pad, id_pad)
+    )(probe_tbl.reshape(-1), tau_arr, qn_pad, lamq_pad, slabs, lam_pad,
+      id_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "qb", "q", "cap",
@@ -234,13 +213,17 @@ def _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
     n_vote = min(2, sims_pad.shape[1])
     _, top2 = jax.lax.top_k(sims_pad, n_vote)
     # Scatter votes straight into the [n_blocks, K] table (a [Q_pad, K]
-    # intermediate is 256 MB at Q=16k, K=4096 — pure waste).
+    # intermediate is 256 MB at Q=16k, K=4096 — pure waste).  Padded query
+    # rows (zero sims) must not vote — top_k on zeros returns clusters
+    # {0, 1}, which would crowd real demand out of the last block's list.
+    valid_q = (jnp.arange(q_pad) < q).astype(jnp.float32)
     block_ids = jnp.broadcast_to(
         (jnp.arange(q_pad) // qb)[:, None], top2.shape)
     block_votes = jnp.zeros((q_pad // qb, sims_pad.shape[1]),
                             dtype=jnp.float32)
     block_votes = block_votes.at[block_ids.reshape(-1),
-                                 top2.reshape(-1)].add(1.0)
+                                 top2.reshape(-1)].add(
+        jnp.broadcast_to(valid_q[:, None], top2.shape).reshape(-1))
     block_sims = jnp.sum(sims_pad.reshape(q_pad // qb, qb, -1), axis=1)
     sims_01 = (block_sims - block_sims.min()) / jnp.maximum(
         block_sims.max() - block_sims.min(), 1e-9)
@@ -256,6 +239,12 @@ def _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
     return i[:q][inv[:q]], s[:q][inv[:q]]
 
 
+def q_block_for(q: int, q_block: int = 16) -> int:
+    """Routing-sweep default query-block clamp (shared with the sharded
+    mode so the two paths cannot drift)."""
+    return min(q_block, max(8, 1 << (q - 1).bit_length()))
+
+
 def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
                        n_probe: int = 16, q_block: int = 16,
                        interpret: bool | None = None):
@@ -269,7 +258,7 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
     q, _f = qn.shape
     n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
     n_probe = max(1, min(n_probe, n_clusters))
-    qb = min(q_block, max(8, 1 << (q - 1).bit_length()))
+    qb = q_block_for(q, q_block)
     k = max(1, min(topk, ivf.cap * n_probe))
     return _blocked_ivf_jit(
         ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,

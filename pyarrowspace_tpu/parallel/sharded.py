@@ -385,9 +385,10 @@ def _sharded_lambdas(stored_pad, lap_f, w_f, *, n_real, mesh,
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "mesh", "tau_mix",
+                                             "n_real",
                                              "rayleigh_normalized"))
 def _sharded_search_fused(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star, tau,
-                          *, topk, mesh, tau_mix,
+                          *, topk, mesh, tau_mix, n_real,
                           rayleigh_normalized=False):
     """One compiled program for the whole sharded serving step: replicated
     query-lambda synthesis fused with the per-shard scan + all_gather merge
@@ -399,7 +400,7 @@ def _sharded_search_fused(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star, tau,
              if rayleigh_normalized else e_un)
         g = dispersion_batch(qb, wf, e_un)
         lq = synthesize(e, g, ts, tau_mix)
-        return _search_body(xl, ll, qb, lq, tt, topk)
+        return _search_body(xl, ll, qb, lq, tt, topk, n_real)
 
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(),
@@ -494,6 +495,9 @@ def _sharded_search_subtile(xs_pad, xf_pad, lam_pad, q, lap_f, w_f,
               jnp.asarray(tau))
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "topk", "cap", "n_probe", "mesh", "tau_mix", "rayleigh_normalized",
+    "interpret"))
 def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
                               lap_f, w_f, tau_star, tau, *, topk, cap,
                               n_probe, mesh, tau_mix, rayleigh_normalized,
@@ -505,10 +509,10 @@ def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
     shard, so recall >= the single-chip mode at equal n_probe; per-chip
     scan work is the same n_probe slabs.  slab_ids are global item ids,
     so no offset arithmetic crosses the merge."""
-    from ..ops.pallas.ivf_scan import _blocked_ivf_jit
+    from ..ops.pallas.ivf_scan import _blocked_ivf_jit, q_block_for
 
     n_q = q.shape[0]
-    qb = min(16, max(8, 1 << (n_q - 1).bit_length()))
+    qb = q_block_for(n_q)
 
     def body(cu, slabs, lam_s, ids_s, qb_, lap, wf, ts, tt):
         e_un = rayleigh_batch(qb_, lap, normalized=False)
@@ -540,9 +544,10 @@ def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "mesh", "tau_mix",
+                                             "n_real",
                                              "rayleigh_normalized"))
 def _sharded_search_hybrid(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star,
-                           tau, *, topk, mesh, tau_mix,
+                           tau, *, topk, mesh, tau_mix, n_real,
                            rayleigh_normalized=False):
     """Sharded hybrid serving (multiplicative gate,
     ops/search.hybrid_topk_batch semantics) + all_gather merge."""
@@ -553,7 +558,7 @@ def _sharded_search_hybrid(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star,
              if rayleigh_normalized else e_un)
         g = dispersion_batch(qb, wf, e_un)
         lq = synthesize(e, g, ts, tau_mix)
-        return _search_body(xl, ll, qb, lq, tt, topk, gate=True)
+        return _search_body(xl, ll, qb, lq, tt, topk, n_real, gate=True)
 
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(),
@@ -563,7 +568,7 @@ def _sharded_search_hybrid(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star,
               jnp.asarray(tau))
 
 
-def _search_body(xl, ll, qb, lq, tau, topk, gate=False):
+def _search_body(xl, ll, qb, lq, tau, topk, n_real, gate=False):
     n_loc = xl.shape[0]
     my = jax.lax.axis_index(DATA_AXIS)
     qn = unit_normalize(qb, axis=-1)
@@ -574,6 +579,12 @@ def _search_body(xl, ll, qb, lq, tau, topk, gate=False):
         score = cos * (tau + (1.0 - tau) * prox)
     else:
         score = tau * cos + (1.0 - tau) * prox
+    # Padding rows (zero vectors, lambda 0) score (1-tau)/(1+lq) > 0 and
+    # would outrank weakly-matching real items at low tau — mask them so
+    # served indices are always < n_real (single-chip has no padding).
+    gcol = my * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+    score = jnp.where(gcol[None, :] < n_real, score,
+                      jnp.asarray(-jnp.inf, dtype=score.dtype))
     vals, idx = jax.lax.top_k(score, topk)
     gidx = my * n_loc + idx.astype(jnp.int32)
     all_vals = jax.lax.all_gather(vals, DATA_AXIS)   # [d, Q, topk]
@@ -781,7 +792,7 @@ class ShardedArrowSpace:
         idx, vals = _sharded_search_fused(
             self._xu_pad, self._lambdas_pad, q, self._lap_f, self._w_f,
             self._tau_star, jnp.asarray(tau, dtype=q.dtype), topk=topk,
-            mesh=self.mesh, tau_mix=self._tau_mix,
+            mesh=self.mesh, tau_mix=self._tau_mix, n_real=self._n_real,
             rayleigh_normalized=self._rayleigh_normalized)
         return np.asarray(idx), np.asarray(vals)
 
@@ -795,7 +806,7 @@ class ShardedArrowSpace:
         idx, vals = _sharded_search_hybrid(
             self._xu_pad, self._lambdas_pad, q, self._lap_f, self._w_f,
             self._tau_star, jnp.asarray(tau, dtype=q.dtype), topk=topk,
-            mesh=self.mesh, tau_mix=self._tau_mix,
+            mesh=self.mesh, tau_mix=self._tau_mix, n_real=self._n_real,
             rayleigh_normalized=self._rayleigh_normalized)
         return np.asarray(idx), np.asarray(vals)
 

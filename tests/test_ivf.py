@@ -132,3 +132,20 @@ def test_blocked_ivf_skewed_clusters_partition_and_exactness():
     for r in range(8):
         exact_top = set(np.argsort(-score[r])[:10].tolist())
         assert set(np.asarray(bi)[r].tolist()) == exact_top, r
+
+
+def test_blocked_ivf_partial_block_queries(built):
+    """A padded last block must not let padding rows vote: with a single
+    query (7 padded rows in its 8-block) and n_probe=2, padded votes for
+    clusters {0, 1} would displace the query's own demand and lose its
+    group entirely."""
+    aspace, gl, items = built
+    aspace.enable_ivf(n_clusters=40)
+    rng = np.random.default_rng(21)
+    for qi in (123, 777, 1501):
+        query = (items[qi] * 1.02)[None, :]
+        ei, _ = aspace.search_batch(query, gl, 0.62)
+        bi, _ = aspace.search_batch(query, gl, 0.62, mode="ivf_block",
+                                    n_probe=2)
+        overlap = len(set(ei[0].tolist()) & set(bi[0].tolist())) / 10
+        assert overlap >= 0.7, (qi, overlap, ei[0], bi[0])

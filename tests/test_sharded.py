@@ -440,3 +440,22 @@ def test_search_auto_mode_sharded(pair):
     ei, ev = sspace.search_batch(queries, 0.62, mode="exact")
     assert np.array_equal(ai, ei)
     np.testing.assert_allclose(av, ev, rtol=1e-12)
+
+
+def test_padding_rows_never_served(pair):
+    """Adversarial low-tau case: an anti-aligned query scores real items
+    near (or below) zero, so an unmasked zero-padding row (lambda=0,
+    prox ~ 1) would outrank them.  Served indices must stay < nitems in
+    every sharded mode."""
+    (sspace, _), (aspace, gl), items = pair
+    n = sspace.nitems
+    queries = -items[:4] * 1.5   # anti-aligned: real cosine scores < 0
+    for mode in ("exact", "subtile"):
+        si, _ = sspace.search_batch(queries, 0.05, mode=mode)
+        assert si.max() < n, (mode, si.max())
+        ei, ev = aspace.search_batch(queries, gl, 0.05, mode="exact")
+        assert np.array_equal(si, ei), mode
+    hi, _ = sspace.search_hybrid_batch(queries, 0.05)
+    assert hi.max() < n
+    href, _ = aspace.search_hybrid_batch(queries, gl, 0.05)
+    assert np.array_equal(hi, href)
