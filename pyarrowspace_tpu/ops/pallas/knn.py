@@ -40,6 +40,52 @@ _INF_DIST = 2.0
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
+
+def _lazy_merge_min(d, col_ids, run_d, run_i, *, k: int, inf_val):
+    """Lazy exact merge, MIN variant (distances ascending; mirror of
+    ops/pallas/scan_topk._lazy_merge): extract a tile's min and
+    insertion-sort it in only while it beats some row's kth distance;
+    scatter-free iota-mask shifts; worst case degrades to dense
+    extraction, still exact.  Shared by the Pallas k-NN kernel and the
+    sharded ring merge (parallel/sharded.py) so the exactness-critical
+    tie-break (smallest column id wins equal distances) lives in ONE
+    place.  Returns the merged (rd, ri)."""
+    b = d.shape[0]
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    int_max = jnp.iinfo(jnp.int32).max
+
+    def improving(carry):
+        dd, rd, _ = carry
+        kth = rd[:, k - 1:k]
+        return jnp.any(jnp.min(dd, axis=1, keepdims=True) < kth)
+
+    def extract_insert(carry):
+        dd, rd, ri = carry
+        kth = rd[:, k - 1:k]
+        m = jnp.min(dd, axis=1, keepdims=True)
+        hit = dd == m
+        sel = jnp.min(jnp.where(hit, col_ids, int_max), axis=1,
+                      keepdims=True)
+        improves = m < kth
+        pos = jnp.sum((rd < m).astype(jnp.int32), axis=1,
+                      keepdims=True)
+        rd_shift = jnp.concatenate([rd[:, :1], rd[:, :-1]], axis=1)
+        ri_shift = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
+        ins_d = jnp.where(col_k < pos, rd,
+                          jnp.where(col_k == pos, m, rd_shift))
+        ins_i = jnp.where(col_k < pos, ri,
+                          jnp.where(col_k == pos,
+                                    sel.astype(ri.dtype), ri_shift))
+        rd = jnp.where(improves, ins_d, rd)
+        ri = jnp.where(improves, ins_i, ri)
+        dd = jnp.where(hit & (col_ids == sel), inf_val, dd)
+        dd = jnp.where(improves, dd, inf_val)  # row done: min >= kth
+        return dd, rd, ri
+
+    _, rd, ri = jax.lax.while_loop(improving, extract_insert,
+                                   (d, run_d, run_i))
+    return rd, ri
+
 def _knn_block_kernel(eps_ref, nreal_ref, rows_ref, cols_ref,
                       out_d_ref, out_i_ref, run_d, run_i, *, k: int,
                       col_tile: int, block_rows: int):
@@ -71,43 +117,8 @@ def _knn_block_kernel(eps_ref, nreal_ref, rows_ref, cols_ref,
     d = jnp.where(invalid | (d > eps_ref[0]), _INF_DIST, d).astype(
         jnp.float32)
 
-    # Lazy exact merge (min variant of ops/pallas/scan_topk.py): the running
-    # k nearest stay sorted ascending in scratch; a tile entry is extracted
-    # and insertion-sorted only while it beats some row's kth distance —
-    # expected O(k · ln(n_tiles)) insertions per row across the whole sweep
-    # instead of k dense passes per tile.  Scatter-free (iota-mask shifts);
-    # worst case degrades to dense extraction, still exact.
-    col_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
-
-    def improving(carry):
-        dd, rd, _ = carry
-        kth = rd[:, k - 1:k]
-        return jnp.any(jnp.min(dd, axis=1, keepdims=True) < kth)
-
-    def extract_insert(carry):
-        dd, rd, ri = carry
-        kth = rd[:, k - 1:k]
-        m = jnp.min(dd, axis=1, keepdims=True)                  # [B, 1]
-        hit = dd == m
-        sel = jnp.min(jnp.where(hit, col_ids, _INT_MAX), axis=1,
-                      keepdims=True)
-        improves = m < kth
-        pos = jnp.sum((rd < m).astype(jnp.int32), axis=1,
-                      keepdims=True)
-        rd_shift = jnp.concatenate([rd[:, :1], rd[:, :-1]], axis=1)
-        ri_shift = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
-        ins_d = jnp.where(col_k < pos, rd,
-                          jnp.where(col_k == pos, m, rd_shift))
-        ins_i = jnp.where(col_k < pos, ri,
-                          jnp.where(col_k == pos, sel, ri_shift))
-        rd = jnp.where(improves, ins_d, rd)
-        ri = jnp.where(improves, ins_i, ri)
-        dd = jnp.where(hit & (col_ids == sel), _INF_DIST, dd)
-        dd = jnp.where(improves, dd, _INF_DIST)  # row done: min >= kth
-        return dd, rd, ri
-
-    _, rd, ri = jax.lax.while_loop(
-        improving, extract_insert, (d, run_d[:], run_i[:]))
+    rd, ri = _lazy_merge_min(d, col_ids, run_d[:], run_i[:], k=k,
+                             inf_val=_INF_DIST)
     run_d[:] = rd
     run_i[:] = ri
 

@@ -40,6 +40,7 @@ from ..graph.build import BuildConfig, DEFAULT_BUILD_CONFIG, validate_items, \
     _pick_dtype
 from ..graph.feature import laplacian_from_sq_dists
 from ..ops.distance import unit_normalize, kernel_weights
+from ..ops.pallas.knn import _lazy_merge_min
 from ..ops.rayleigh import dispersion_batch, rayleigh_batch
 from ..ops.symmetrize import symmetrize_to_ell, _rank_within_rows
 from ..spectral.taumode import TAU_MIX, synthesize
@@ -63,9 +64,6 @@ def _ring_knn_local(xl: jnp.ndarray, k: int, eps, n_real: int, n_dev: int,
                            (DATA_AXIS,), to="varying")
     n_tiles = n_loc // col_tile
 
-    col_k = jax.lax.broadcasted_iota(jnp.int32, (n_loc, k), 1)
-    int_max = jnp.iinfo(jnp.int32).max
-
     def merge_block(carry, visiting, src):
         def tile_step(c, t):
             bd, bi = c
@@ -82,38 +80,9 @@ def _ring_knn_local(xl: jnp.ndarray, k: int, eps, n_real: int, n_dev: int,
             d = jnp.where(invalid | (d > eps), _INF, d)
             ids_b = jnp.broadcast_to(col_ids, d.shape)
 
-            # Lazy exact merge (min variant of ops/pallas/knn.py): insert a
-            # tile entry only while it strictly beats some row's kth-best.
-            def improving(s):
-                dd, rd, _ = s
-                return jnp.any(jnp.min(dd, axis=1, keepdims=True)
-                               < rd[:, k - 1:k])
-
-            def extract_insert(s):
-                dd, rd, ri = s
-                kth = rd[:, k - 1:k]
-                m = jnp.min(dd, axis=1, keepdims=True)
-                hit = dd == m
-                sel = jnp.min(jnp.where(hit, ids_b, int_max), axis=1,
-                              keepdims=True)
-                improves = m < kth
-                pos = jnp.sum((rd < m).astype(jnp.int32), axis=1,
-                              keepdims=True)
-                rd_shift = jnp.concatenate([rd[:, :1], rd[:, :-1]], axis=1)
-                ri_shift = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
-                ins_d = jnp.where(col_k < pos, rd,
-                                  jnp.where(col_k == pos, m, rd_shift))
-                ins_i = jnp.where(col_k < pos, ri,
-                                  jnp.where(col_k == pos,
-                                            sel.astype(jnp.int32), ri_shift))
-                rd = jnp.where(improves, ins_d, rd)
-                ri = jnp.where(improves, ins_i, ri)
-                dd = jnp.where(hit & (ids_b == sel), _INF, dd)
-                dd = jnp.where(improves, dd, _INF)
-                return dd, rd, ri
-
-            _, bd, bi = jax.lax.while_loop(improving, extract_insert,
-                                           (d, bd, bi))
+            # Lazy exact merge — the shared min variant (the tie-break
+            # contract lives in ops/pallas/knn._lazy_merge_min).
+            bd, bi = _lazy_merge_min(d, ids_b, bd, bi, k=k, inf_val=_INF)
             return (bd, bi), None
 
         (bd, bi), _ = jax.lax.scan(tile_step, carry,
