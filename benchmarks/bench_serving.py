@@ -165,8 +165,8 @@ def main():
     # it runs after the quantized state is freed.
     if os.environ.get("SERV_IVF_BLOCK", "0") == "1":
         del st, outs_s, warm  # slabs need ~2x corpus HBM; free the rest
-        from pyarrowspace_tpu.ops.pallas.ivf_scan import (blocked_ivf_search,
-                                                          build_blocked_ivf)
+        from pyarrowspace_tpu.ops.pallas.ivf_scan import (
+            blocked_ivf_search_fused, build_blocked_ivf)
         from pyarrowspace_tpu.reduction.pipeline import _lloyd
         k_cl = int(os.environ.get("SERV_CLUSTERS", 4096))
         n_probe = int(os.environ.get("SERV_NPROBE", 16))
@@ -175,22 +175,17 @@ def main():
         ivf_b = build_blocked_ivf(xu, lam32, np.asarray(cents),
                                   np.asarray(assigns))
         ivf_b.slabs.block_until_ready()
-        # Query lambdas via the standard synthesis (same as served modes).
-        def _lam_q(qb):
-            qn = unit_normalize(qb)
-            e_un = rayleigh_batch(qn, lap_f, normalized=False)
-            gq = dispersion_batch(qn, w_f, e_un)
-            return qn, synthesize(e_un, gq, ts, TAU_MIX)
-        qn0, lamq0 = _lam_q(query_batches[-1])
-        warm = blocked_ivf_search(ivf_b, qn0, lamq0, tau, topk,
-                                  n_probe=n_probe)
+        # ONE dispatch per batch: query-lambda synthesis fused with the
+        # routing + scan (same convention as the other served modes).
+        warm = blocked_ivf_search_fused(ivf_b, query_batches[-1], lap_f,
+                                        w_f, ts, tau, topk,
+                                        n_probe=n_probe, tau_mix=TAU_MIX)
         _ = np.asarray(warm[0])
         t0 = time.perf_counter()
-        outs_b = []
-        for qb in query_batches:
-            qn_b, lamq_b = _lam_q(qb)
-            outs_b.append(blocked_ivf_search(ivf_b, qn_b, lamq_b, tau,
-                                             topk, n_probe=n_probe))
+        outs_b = [blocked_ivf_search_fused(ivf_b, qb, lap_f, w_f, ts, tau,
+                                           topk, n_probe=n_probe,
+                                           tau_mix=TAU_MIX)
+                  for qb in query_batches]
         _ = [int(np.asarray(o[0])[0, 0]) for o in outs_b]
         dt = time.perf_counter() - t0
         print(f"ivf_block n_probe={n_probe} ({k_cl} clusters): "

@@ -404,22 +404,27 @@ class ArrowSpace:
             from ..ops.distance import unit_normalize
             if getattr(self, "_ivf", None) is None:
                 self.enable_ivf()
-            e_un = rayleigh_batch(q, self._lap_f, normalized=False)
-            e_raw = (rayleigh_batch(q, self._lap_f, normalized=True)
-                     if self._rayleigh_normalized else e_un)
-            g = dispersion_batch(q, self._w_f, e_un)
-            lam_q = synthesize(e_raw, g, self._tau_star, self._tau_mix)
             if mode == "ivf_block":
-                from ..ops.pallas.ivf_scan import (blocked_ivf_search,
+                from ..ops.pallas.ivf_scan import (blocked_ivf_search_fused,
                                                    build_blocked_ivf)
                 if getattr(self, "_ivf_blocked", None) is None:
                     self._ivf_blocked = build_blocked_ivf(
                         self._data_unit, self._lambdas, self._centroids,
                         self._assignments)
-                idx, vals = blocked_ivf_search(
-                    self._ivf_blocked, unit_normalize(q), lam_q,
-                    float(tau), topk, n_probe=n_probe)
+                # One compiled program (synthesis + routing + scan): eager
+                # per-op dispatch costs a host round trip each on tunneled
+                # runtimes.
+                idx, vals = blocked_ivf_search_fused(
+                    self._ivf_blocked, q, self._lap_f, self._w_f,
+                    self._tau_star, float(tau), topk, n_probe=n_probe,
+                    rayleigh_normalized=self._rayleigh_normalized,
+                    tau_mix=self._tau_mix)
                 return np.asarray(idx), np.asarray(vals)
+            e_un = rayleigh_batch(q, self._lap_f, normalized=False)
+            e_raw = (rayleigh_batch(q, self._lap_f, normalized=True)
+                     if self._rayleigh_normalized else e_un)
+            g = dispersion_batch(q, self._w_f, e_un)
+            lam_q = synthesize(e_raw, g, self._tau_star, self._tau_mix)
             from ..ops.ivf import ivf_lambda_search
             idx, vals = ivf_lambda_search(
                 self._data_unit, self._lambdas, self._ivf,

@@ -266,3 +266,56 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
         jnp.asarray(lam_q, dtype=jnp.float32),
         jnp.asarray(tau, dtype=jnp.float32),
         k=k, qb=qb, q=q, cap=ivf.cap, n_probe=n_probe, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "qb", "q", "cap", "n_probe", "interpret", "rayleigh_normalized",
+    "tau_mix"))
+def _blocked_ivf_serve_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
+                           q_raw, lap_f, w_f, tau_star, tau, *, k, qb, q,
+                           cap, n_probe, interpret, rayleigh_normalized,
+                           tau_mix):
+    from ...ops.distance import unit_normalize
+    from ...ops.rayleigh import dispersion_batch, rayleigh_batch
+    from ...spectral.taumode import synthesize
+
+    e_un = rayleigh_batch(q_raw, lap_f, normalized=False)
+    e = (rayleigh_batch(q_raw, lap_f, normalized=True)
+         if rayleigh_normalized else e_un)
+    g = dispersion_batch(q_raw, w_f, e_un)
+    lam_q = synthesize(e, g, tau_star, tau_mix).astype(jnp.float32)
+    qn = unit_normalize(q_raw.astype(jnp.float32))
+    return _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
+                            qn, lam_q, tau, k=k, qb=qb, q=q, cap=cap,
+                            n_probe=n_probe, interpret=interpret)
+
+
+def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
+                             tau_star, tau, topk: int, n_probe: int = 16,
+                             q_block: int = 16,
+                             rayleigh_normalized: bool = False,
+                             tau_mix: float | None = None,
+                             interpret: bool | None = None):
+    """ONE-dispatch blocked-IVF serving: query-lambda synthesis + routing
+    + Pallas scan in a single compiled program (eager per-op dispatch
+    costs a host round trip each on tunneled runtimes — same rationale as
+    ops/search.fused_query_pipeline)."""
+    from ...spectral.taumode import TAU_MIX
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    q, _f = queries.shape
+    n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
+    n_probe = max(1, min(n_probe, n_clusters))
+    qb = q_block_for(q, q_block)
+    k = max(1, min(topk, ivf.cap * n_probe))
+    return _blocked_ivf_serve_jit(
+        ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
+        jnp.asarray(queries, dtype=jnp.float32),
+        jnp.asarray(lap_f, dtype=jnp.float32),
+        jnp.asarray(w_f, dtype=jnp.float32),
+        jnp.asarray(tau_star, dtype=jnp.float32),
+        jnp.asarray(tau, dtype=jnp.float32), k=k, qb=qb, q=q, cap=ivf.cap,
+        n_probe=n_probe, interpret=interpret,
+        rayleigh_normalized=rayleigh_normalized,
+        tau_mix=TAU_MIX if tau_mix is None else float(tau_mix))
