@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main():
+    from protocols import force_cpu_if_requested
+    force_cpu_if_requested()   # ARROWSPACE_CPU=1: CPU smoke runs off-TPU
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -94,6 +96,49 @@ def main():
         return qps
 
     backend = "pallas" if n * q_batch > 2**31 else "xla"
+    only_ivf = os.environ.get("SERV_ONLY_IVF", "0") == "1"
+    lam32 = lams.astype(jnp.float32)
+
+    def run_ivf_block(ie, k_ov):
+        from pyarrowspace_tpu.ops.pallas.ivf_scan import (
+            blocked_ivf_search_fused, build_blocked_ivf)
+        from pyarrowspace_tpu.reduction.pipeline import _lloyd
+        k_cl = int(os.environ.get("SERV_CLUSTERS", 4096))
+        n_probe = int(os.environ.get("SERV_NPROBE", 16))
+        sel = jnp.asarray(rng.choice(n, size=k_cl, replace=False))
+        cents, assigns = _lloyd(xu, xu[sel], 8)
+        ivf_b = build_blocked_ivf(xu, lam32, np.asarray(cents),
+                                  np.asarray(assigns))
+        ivf_b.slabs.block_until_ready()
+        # ONE dispatch per batch: query-lambda synthesis fused with the
+        # routing + scan (same convention as the other served modes).
+        warm_b = blocked_ivf_search_fused(ivf_b, query_batches[-1], lap_f,
+                                          w_f, ts, tau, topk,
+                                          n_probe=n_probe, tau_mix=TAU_MIX)
+        _ = np.asarray(warm_b[0])
+        t0 = time.perf_counter()
+        outs_b = [blocked_ivf_search_fused(ivf_b, qb, lap_f, w_f, ts, tau,
+                                           topk, n_probe=n_probe,
+                                           tau_mix=TAU_MIX)
+                  for qb in query_batches]
+        _ = [int(np.asarray(o[0])[0, 0]) for o in outs_b]
+        dt = time.perf_counter() - t0
+        print(f"ivf_block n_probe={n_probe} ({k_cl} clusters): "
+              f"{q_batch * reps / dt:,.0f} QPS "
+              f"({dt / reps * 1000:.1f} ms/batch of {q_batch})")
+        ib = np.asarray(outs_b[0][0])
+        ov_b = float(np.mean([len(set(ie[i][:k_ov]) & set(ib[i][:k_ov]))
+                              / k_ov for i in range(q_batch)]))
+        print(f"ivf_block top-{k_ov} overlap vs exact f32: {ov_b:.4f}")
+    if only_ivf:
+        # n_probe sweep runs: skip the exact/int8/subtile throughput
+        # stages but keep ONE exact batch as the overlap reference.
+        args = dict(topk=topk, rayleigh_normalized=False, tau_mix=TAU_MIX,
+                    backend=backend)
+        ie = np.asarray(fused_query_pipeline(
+            xu, lam32, lap_f, w_f, ts, query_batches[0], tau, **args)[0])
+        run_ivf_block(ie, min(10, topk))
+        return
     measure(xu, f"exact f32 ({backend})", backend)
     measure(xu.astype(jnp.bfloat16), f"exact bf16 ({backend})", backend)
 
@@ -165,36 +210,7 @@ def main():
     # it runs after the quantized state is freed.
     if os.environ.get("SERV_IVF_BLOCK", "0") == "1":
         del st, outs_s, warm  # slabs need ~2x corpus HBM; free the rest
-        from pyarrowspace_tpu.ops.pallas.ivf_scan import (
-            blocked_ivf_search_fused, build_blocked_ivf)
-        from pyarrowspace_tpu.reduction.pipeline import _lloyd
-        k_cl = int(os.environ.get("SERV_CLUSTERS", 4096))
-        n_probe = int(os.environ.get("SERV_NPROBE", 16))
-        sel = jnp.asarray(rng.choice(n, size=k_cl, replace=False))
-        cents, assigns = _lloyd(xu, xu[sel], 8)
-        ivf_b = build_blocked_ivf(xu, lam32, np.asarray(cents),
-                                  np.asarray(assigns))
-        ivf_b.slabs.block_until_ready()
-        # ONE dispatch per batch: query-lambda synthesis fused with the
-        # routing + scan (same convention as the other served modes).
-        warm = blocked_ivf_search_fused(ivf_b, query_batches[-1], lap_f,
-                                        w_f, ts, tau, topk,
-                                        n_probe=n_probe, tau_mix=TAU_MIX)
-        _ = np.asarray(warm[0])
-        t0 = time.perf_counter()
-        outs_b = [blocked_ivf_search_fused(ivf_b, qb, lap_f, w_f, ts, tau,
-                                           topk, n_probe=n_probe,
-                                           tau_mix=TAU_MIX)
-                  for qb in query_batches]
-        _ = [int(np.asarray(o[0])[0, 0]) for o in outs_b]
-        dt = time.perf_counter() - t0
-        print(f"ivf_block n_probe={n_probe} ({k_cl} clusters): "
-              f"{q_batch * reps / dt:,.0f} QPS "
-              f"({dt / reps * 1000:.1f} ms/batch of {q_batch})")
-        ib = np.asarray(outs_b[0][0])
-        ov_b = float(np.mean([len(set(ie[i][:k_ov]) & set(ib[i][:k_ov]))
-                              / k_ov for i in range(q_batch)]))
-        print(f"ivf_block top-{k_ov} overlap vs exact f32: {ov_b:.4f}")
+        run_ivf_block(ie, k_ov)
 
     # IVF mode (opt-in): the current gather-based IVF materializes
     # [Qb, n_probe*cap, F] candidates, which is fine up to ~100k items but
