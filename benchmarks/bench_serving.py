@@ -7,6 +7,7 @@ Usage: [SERV_N=1000000] [SERV_F=768] [SERV_BATCH=4096] python
 benchmarks/bench_serving.py
 """
 
+import json
 import os
 import sys
 import time
@@ -93,11 +94,25 @@ def main():
         qps = q_batch * reps / dt
         print(f"{name}: {qps:,.0f} QPS  ({dt / reps * 1000:.1f} ms/batch "
               f"of {q_batch}, N={n:,}, F={f})")
+        results["modes"][name] = {"qps": round(qps, 1),
+                                  "ms_per_batch": round(dt / reps * 1e3, 2)}
         return qps
 
     backend = "pallas" if n * q_batch > 2**31 else "xla"
     only_ivf = os.environ.get("SERV_ONLY_IVF", "0") == "1"
     lam32 = lams.astype(jnp.float32)
+    results = {"config": {
+        "n": n, "f": f, "q_batch": q_batch, "topk": topk, "reps": reps,
+        "mixture": os.environ.get("SERV_MIXTURE", "0") == "1",
+        "backend": jax.default_backend()}, "modes": {}}
+
+    def emit_results():
+        out_dir = (Path(__file__).resolve().parent / "output"
+                   / f"{int(time.time())}_serving")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        with open(out_dir / "serving_results.json", "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"results -> {out_dir}/serving_results.json")
 
     def run_ivf_block(ie, k_ov):
         from pyarrowspace_tpu.ops.pallas.ivf_scan import (
@@ -130,6 +145,10 @@ def main():
         ov_b = float(np.mean([len(set(ie[i][:k_ov]) & set(ib[i][:k_ov]))
                               / k_ov for i in range(q_batch)]))
         print(f"ivf_block top-{k_ov} overlap vs exact f32: {ov_b:.4f}")
+        results["modes"][f"ivf_block_np{n_probe}"] = {
+            "qps": round(q_batch * reps / dt, 1), "n_probe": n_probe,
+            "n_clusters": k_cl,
+            "top10_overlap_vs_exact": round(ov_b, 4)}
     if only_ivf:
         # n_probe sweep runs: skip the exact/int8/subtile throughput
         # stages but keep ONE exact batch as the overlap reference.
@@ -138,6 +157,7 @@ def main():
         ie = np.asarray(fused_query_pipeline(
             xu, lam32, lap_f, w_f, ts, query_batches[0], tau, **args)[0])
         run_ivf_block(ie, min(10, topk))
+        emit_results()
         return
     measure(xu, f"exact f32 ({backend})", backend)
     measure(xu.astype(jnp.bfloat16), f"exact bf16 ({backend})", backend)
@@ -177,6 +197,9 @@ def main():
     overlap = float(np.mean([len(set(ie[i][:k_ov]) & set(iq[i][:k_ov]))
                              / k_ov for i in range(q_batch)]))
     print(f"int8+rescore top-{k_ov} overlap vs exact f32: {overlap:.4f}")
+    results["modes"]["int8+rescore"] = {
+        "qps": round(qps_q, 1), "rescore_m": rescore_m,
+        "top10_overlap_vs_exact": round(overlap, 4)}
 
     # Subtile-routed scan (block-max exact at the scan dtype; the
     # headline serving mode at large N).
@@ -199,6 +222,9 @@ def main():
     dt = time.perf_counter() - t0
     print(f"subtile bf16 (exact-routed): {q_batch * reps / dt:,.0f} QPS  "
           f"({dt / reps * 1000:.1f} ms/batch of {q_batch})")
+    results["modes"]["subtile"] = {
+        "qps": round(q_batch * reps / dt, 1),
+        "ms_per_batch": round(dt / reps * 1e3, 2)}
     isb = np.asarray(outs_s[0][0])
     ov_s = float(np.mean([len(set(ie[i][:k_ov]) & set(isb[i][:k_ov]))
                           / k_ov for i in range(q_batch)]))
@@ -244,6 +270,8 @@ def main():
         dt = time.perf_counter() - t0
         print(f"ivf n_probe=8: {reps_done / dt:,.0f} QPS "
               f"({k_cl} clusters, N={n:,}, F={f})")
+
+    emit_results()
 
 
 if __name__ == "__main__":
