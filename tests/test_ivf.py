@@ -149,3 +149,31 @@ def test_blocked_ivf_partial_block_queries(built):
                                     n_probe=2)
         overlap = len(set(ei[0].tolist()) & set(bi[0].tolist())) / 10
         assert overlap >= 0.7, (qi, overlap, ei[0], bi[0])
+
+
+def test_blocked_ivf_fused_matches_unfused(built):
+    """The single-dispatch fused serving path (synthesis + routing + scan
+    in one program) must produce exactly what the two-step path does."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas.ivf_scan import blocked_ivf_search
+    from pyarrowspace_tpu.ops.rayleigh import dispersion_batch, rayleigh_batch
+    from pyarrowspace_tpu.spectral.taumode import synthesize
+
+    aspace, gl, items = built
+    aspace.enable_ivf(n_clusters=40)
+    rng = np.random.default_rng(31)
+    queries = items[rng.choice(2000, 16, replace=False)] * 1.02
+    fi, fv = aspace.search_batch(queries, gl, 0.62, mode="ivf_block",
+                                 n_probe=12)
+
+    q = jnp.asarray(queries, dtype=aspace._data.dtype)
+    e_un = rayleigh_batch(q, aspace._lap_f, normalized=False)
+    g = dispersion_batch(q, aspace._w_f, e_un)
+    lam_q = synthesize(e_un, g, aspace._tau_star, aspace._tau_mix)
+    qn32 = unit_normalize(jnp.asarray(queries, dtype=jnp.float32))
+    ui, uv = blocked_ivf_search(aspace._ivf_blocked, qn32,
+                                lam_q.astype(jnp.float32), 0.62, 10,
+                                n_probe=12)
+    assert np.array_equal(fi[:, :10], np.asarray(ui))
+    np.testing.assert_allclose(fv[:, :10], np.asarray(uv), rtol=1e-5)
