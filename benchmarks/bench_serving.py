@@ -122,8 +122,11 @@ def main():
         n_probe = int(os.environ.get("SERV_NPROBE", 16))
         sel = jnp.asarray(rng.choice(n, size=k_cl, replace=False))
         cents, assigns = _lloyd(xu, xu[sel], 8)
+        slab_dtype = (jnp.bfloat16 if os.environ.get("SERV_IVF_DTYPE")
+                      == "bf16" else None)
         ivf_b = build_blocked_ivf(xu, lam32, np.asarray(cents),
-                                  np.asarray(assigns))
+                                  np.asarray(assigns),
+                                  slab_dtype=slab_dtype)
         ivf_b.slabs.block_until_ready()
         # ONE dispatch per batch: query-lambda synthesis fused with the
         # routing + scan (same convention as the other served modes).
@@ -138,14 +141,15 @@ def main():
                   for qb in query_batches]
         _ = [int(np.asarray(o[0])[0, 0]) for o in outs_b]
         dt = time.perf_counter() - t0
-        print(f"ivf_block n_probe={n_probe} ({k_cl} clusters): "
+        dt_name = "bf16" if slab_dtype is not None else "f32"
+        print(f"ivf_block[{dt_name}] n_probe={n_probe} ({k_cl} clusters): "
               f"{q_batch * reps / dt:,.0f} QPS "
               f"({dt / reps * 1000:.1f} ms/batch of {q_batch})")
         ib = np.asarray(outs_b[0][0])
         ov_b = float(np.mean([len(set(ie[i][:k_ov]) & set(ib[i][:k_ov]))
                               / k_ov for i in range(q_batch)]))
         print(f"ivf_block top-{k_ov} overlap vs exact f32: {ov_b:.4f}")
-        results["modes"][f"ivf_block_np{n_probe}"] = {
+        results["modes"][f"ivf_block_{dt_name}_np{n_probe}"] = {
             "qps": round(q_batch * reps / dt, 1), "n_probe": n_probe,
             "n_clusters": k_cl,
             "top10_overlap_vs_exact": round(ov_b, 4)}

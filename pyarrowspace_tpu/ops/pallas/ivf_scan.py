@@ -45,7 +45,8 @@ class BlockedIVF(NamedTuple):
 
 
 def build_blocked_ivf(xu, lambdas, centroids, assignments,
-                      capacity_factor: float = 2.0) -> BlockedIVF:
+                      capacity_factor: float = 2.0,
+                      slab_dtype=None) -> BlockedIVF:
     """Reorder the corpus cluster-contiguously with per-cluster padding.
 
     Items beyond a cluster's capacity are appended into other clusters'
@@ -85,6 +86,11 @@ def build_blocked_ivf(xu, lambdas, centroids, assignments,
     # zeroes the proximity term, and the extra jnp.where would double the
     # 6.4 GB gather output at 1M x 768 (HBM peak, not correctness).
     slabs = jnp.asarray(xu, dtype=jnp.float32)[safe_dev]
+    if slab_dtype is not None:
+        # bf16 slabs halve the probe DMA bytes (the scan is bandwidth-
+        # bound); scores then carry bf16 rounding — fine for an
+        # approximate mode, opt-in only.
+        slabs = slabs.astype(slab_dtype)
     lam = jnp.where(valid_dev,
                     jnp.asarray(lambdas, dtype=jnp.float32)[safe_dev],
                     jnp.inf)
@@ -105,7 +111,7 @@ def _ivf_kernel(probe_ref, tau_ref, qn_ref, lamq_ref, slab_ref, lam_ref,
         run_s[:] = jnp.full_like(run_s, _NEG_INF)
         run_i[:] = jnp.full_like(run_i, -1)
 
-    qn = qn_ref[:]                        # [QB, F]
+    qn = qn_ref[:].astype(slab_ref.dtype)  # [QB, F] (match slab dtype)
     nq = qn.shape[0]
     tau = tau_ref[0]
     cos = jax.lax.dot_general(qn, slab_ref[:], (((1,), (1,)), ((), ())),

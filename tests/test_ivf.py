@@ -177,3 +177,36 @@ def test_blocked_ivf_fused_matches_unfused(built):
                                 n_probe=12)
     assert np.array_equal(fi[:, :10], np.asarray(ui))
     np.testing.assert_allclose(fv[:, :10], np.asarray(uv), rtol=1e-5)
+
+
+def test_blocked_ivf_bf16_slabs(built):
+    """Opt-in bf16 slabs (half the probe DMA bytes): full probing must
+    still track the exact top-k closely — bf16 rounding may flip
+    near-ties only."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas.ivf_scan import (blocked_ivf_search,
+                                                      build_blocked_ivf)
+    from pyarrowspace_tpu.ops.rayleigh import dispersion_batch, rayleigh_batch
+    from pyarrowspace_tpu.spectral.taumode import synthesize
+
+    aspace, gl, items = built
+    aspace.enable_ivf(n_clusters=40)
+    ivf16 = build_blocked_ivf(aspace._data_unit, aspace._lambdas,
+                              aspace._centroids, aspace._assignments,
+                              slab_dtype=jnp.bfloat16)
+    assert ivf16.slabs.dtype == jnp.bfloat16
+    rng = np.random.default_rng(41)
+    queries = items[rng.choice(2000, 8, replace=False)] * 1.02
+    q = jnp.asarray(queries, dtype=aspace._data.dtype)
+    e_un = rayleigh_batch(q, aspace._lap_f, normalized=False)
+    g = dispersion_batch(q, aspace._w_f, e_un)
+    lam_q = synthesize(e_un, g, aspace._tau_star, aspace._tau_mix)
+    qn32 = unit_normalize(jnp.asarray(queries, dtype=jnp.float32))
+    bi, _ = blocked_ivf_search(ivf16, qn32, lam_q.astype(jnp.float32),
+                               0.62, 10, n_probe=40)
+    ei, _ = aspace.search_batch(queries, gl, 0.62)
+    overlap = np.mean([len(set(ei[r].tolist()) &
+                           set(np.asarray(bi)[r].tolist())) / 10
+                       for r in range(8)])
+    assert overlap >= 0.9, overlap
