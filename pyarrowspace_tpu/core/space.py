@@ -326,7 +326,7 @@ class ArrowSpace:
 
     def search_batch(self, queries, gl: GraphLaplacian, tau: float,
                      topk: Optional[int] = None, mode: str = "exact",
-                     n_probe: int = 8):
+                     n_probe: int = 8, certify: bool = False):
         """Batched lambda-aware search: queries [Q, F] ->
         (indices [Q, topk] np.int32, scores [Q, topk] np.float32/64).
         The high-QPS serving path (BASELINE.json north-star).
@@ -353,7 +353,15 @@ class ArrowSpace:
         (gather-based, best up to ~10^5 items); "ivf_block" uses the
         cluster-contiguous Pallas slab kernel (block-shared probes,
         large-corpus scale).  ivf modes are approximate; enable_ivf() is
-        built on demand."""
+        built on demand.
+
+        certify=True (ivf_block only) additionally returns a per-query
+        bool [Q]: True means the served top-k PROVABLY equals the exact
+        blended-scan top-k (no unprobed cluster's centroid-radius +
+        lambda-interval upper bound beats the served kth score) — re-run
+        refused queries with a higher n_probe or mode="exact"."""
+        if certify and mode != "ivf_block":
+            raise ValueError("certify=True requires mode='ivf_block'")
         if mode not in ("auto", "exact", "int8", "subtile", "ivf",
                         "ivf_block"):
             raise ValueError(f"unknown search mode {mode!r}; expected "
@@ -414,12 +422,15 @@ class ArrowSpace:
                 # One compiled program (synthesis + routing + scan): eager
                 # per-op dispatch costs a host round trip each on tunneled
                 # runtimes.
-                idx, vals = blocked_ivf_search_fused(
+                out = blocked_ivf_search_fused(
                     self._ivf_blocked, q, self._lap_f, self._w_f,
                     self._tau_star, float(tau), topk, n_probe=n_probe,
                     rayleigh_normalized=self._rayleigh_normalized,
-                    tau_mix=self._tau_mix)
-                return np.asarray(idx), np.asarray(vals)
+                    tau_mix=self._tau_mix, certify=certify)
+                if certify:
+                    return (np.asarray(out[0]), np.asarray(out[1]),
+                            np.asarray(out[2]))
+                return np.asarray(out[0]), np.asarray(out[1])
             e_un = rayleigh_batch(q, self._lap_f, normalized=False)
             e_raw = (rayleigh_batch(q, self._lap_f, normalized=True)
                      if self._rayleigh_normalized else e_un)

@@ -42,11 +42,18 @@ class BlockedIVF(NamedTuple):
     slab_lambdas: jnp.ndarray    # [K * cap] (+inf on padding)
     slab_ids: jnp.ndarray        # [K * cap] original item ids (-1 padding)
     cap: int
+    # Certification state (None when built with certify=False): per-slab
+    # Euclidean covering radius around the unit centroid, lambda interval,
+    # and non-emptiness — enough to upper-bound any member's blended score.
+    radii: jnp.ndarray | None = None       # [K]
+    lam_lo: jnp.ndarray | None = None      # [K]
+    lam_hi: jnp.ndarray | None = None      # [K]
+    nonempty: jnp.ndarray | None = None    # [K] bool
 
 
 def build_blocked_ivf(xu, lambdas, centroids, assignments,
                       capacity_factor: float = 2.0,
-                      slab_dtype=None) -> BlockedIVF:
+                      slab_dtype=None, certify: bool = True) -> BlockedIVF:
     """Reorder the corpus cluster-contiguously with per-cluster padding.
 
     Items beyond a cluster's capacity are appended into other clusters'
@@ -86,18 +93,52 @@ def build_blocked_ivf(xu, lambdas, centroids, assignments,
     # zeroes the proximity term, and the extra jnp.where would double the
     # 6.4 GB gather output at 1M x 768 (HBM peak, not correctness).
     slabs = jnp.asarray(xu, dtype=jnp.float32)[safe_dev]
+    lam = jnp.where(valid_dev,
+                    jnp.asarray(lambdas, dtype=jnp.float32)[safe_dev],
+                    jnp.inf)
+    cu = jnp.asarray(centroids, dtype=jnp.float32)
+    cu = cu / jnp.maximum(jnp.linalg.norm(cu, axis=1, keepdims=True), 1e-30)
+    radii = lam_lo = lam_hi = nonempty = None
+    if certify:
+        radii, lam_lo, lam_hi, nonempty = _cert_state(
+            slabs, lam, valid_dev, cu, k, cap)
     if slab_dtype is not None:
         # bf16 slabs halve the probe DMA bytes (the scan is bandwidth-
         # bound); scores then carry bf16 rounding — fine for an
         # approximate mode, opt-in only.
         slabs = slabs.astype(slab_dtype)
-    lam = jnp.where(valid_dev,
-                    jnp.asarray(lambdas, dtype=jnp.float32)[safe_dev],
-                    jnp.inf)
     ids = jnp.asarray(np.where(valid, slot, -1).astype(np.int32))
-    cu = jnp.asarray(centroids, dtype=jnp.float32)
-    cu = cu / jnp.maximum(jnp.linalg.norm(cu, axis=1, keepdims=True), 1e-30)
-    return BlockedIVF(cu, slabs, lam, ids, cap)
+    return BlockedIVF(cu, slabs, lam, ids, cap, radii=radii,
+                      lam_lo=lam_lo, lam_hi=lam_hi, nonempty=nonempty)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cap"))
+def _cert_state(slabs, lam, valid, cu, k: int, cap: int):
+    """Per-slab covering radius (to the UNIT centroid — the same anchor the
+    routing similarity uses), lambda interval, and non-emptiness, computed
+    over the slab layout (so spilled items are covered by their ADOPTED
+    slab's bound — the slabs partition the corpus).  Chunked over clusters
+    to bound the [chunk, cap, F] temporaries."""
+    f = slabs.shape[1]
+    chunk = max(1, min(k, (2 ** 25) // max(1, cap * f)))
+    while k % chunk:
+        chunk -= 1
+    s3 = slabs.reshape(k // chunk, chunk, cap, f)
+    v3 = valid.reshape(k // chunk, chunk, cap)
+    c3 = cu.reshape(k // chunk, chunk, f)
+
+    def blk(args):
+        sb, vb, cb = args
+        d2 = jnp.sum(jnp.square(sb.astype(jnp.float32)
+                                - cb[:, None, :]), axis=-1)   # [chunk, cap]
+        return jnp.sqrt(jnp.max(jnp.where(vb, d2, 0.0), axis=-1))
+
+    radii = jax.lax.map(blk, (s3, v3, c3)).reshape(k)
+    lam2 = lam.reshape(k, cap)
+    v2 = valid.reshape(k, cap)
+    lam_lo = jnp.min(lam2, axis=1)                      # pads are +inf
+    lam_hi = jnp.max(jnp.where(v2, lam2, -jnp.inf), axis=1)
+    return radii, lam_lo, lam_hi, jnp.any(v2, axis=1)
 
 
 def _ivf_kernel(probe_ref, tau_ref, qn_ref, lamq_ref, slab_ref, lam_ref,
@@ -189,13 +230,11 @@ def _ivf_scan(slabs, lam_pad, id_pad, qn_pad, lamq_pad, probe_tbl, tau, *,
       id_pad)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "qb", "q", "cap",
-                                             "n_probe", "interpret"))
-def _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
+def _route_scan_core(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
                      lamq32, tau, *, k, qb, q, cap, n_probe, interpret):
-    """Routing + scan as ONE compiled program: eager per-op dispatch costs a
-    host round trip each on tunneled runtimes, which dominated small-batch
-    latency before fusion."""
+    """Shared routing + scan body (traced inside the jitted entry points).
+    Returns sorted-order outputs plus the routing state the certification
+    pass reuses."""
     q_pad = ((q + qb - 1) // qb) * qb
     # Route individual queries, then sort by top centroid for coherence.
     sims_c = jnp.matmul(qn32, centroids_unit.T,
@@ -241,8 +280,62 @@ def _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
     s, i = _ivf_scan(slabs, lam_row, id_row, qn_pad, lamq_pad,
                      probe_tbl, tau, k=k, q_block=qb, cap=cap,
                      n_probe=n_probe, interpret=interpret)
+    return i, s, inv, sims_sorted, lamq_sorted, probe_tbl
+
+
+@functools.partial(jax.jit, static_argnames=("k", "qb", "q", "cap",
+                                             "n_probe", "interpret"))
+def _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
+                     lamq32, tau, *, k, qb, q, cap, n_probe, interpret):
+    """Routing + scan as ONE compiled program: eager per-op dispatch costs a
+    host round trip each on tunneled runtimes, which dominated small-batch
+    latency before fusion."""
+    i, s, inv, _, _, _ = _route_scan_core(
+        centroids_unit, slabs, slab_lambdas, slab_ids, qn32, lamq32, tau,
+        k=k, qb=qb, q=q, cap=cap, n_probe=n_probe, interpret=interpret)
     # Unsort back to the caller's query order.
     return i[:q][inv[:q]], s[:q][inv[:q]]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "qb", "q", "cap",
+                                             "n_probe", "interpret"))
+def _blocked_ivf_cert_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
+                          qn32, lamq32, tau, radii, lam_lo, lam_hi,
+                          nonempty, margin, *, k, qb, q, cap, n_probe,
+                          interpret):
+    """Routing + scan + per-query EXACTNESS CERTIFICATION.
+
+    A query is certified when no unprobed cluster's upper bound exceeds
+    its served kth score.  The bound is sound: for unit q and unit
+    centroid c with covering radius r over the slab's members x,
+    ||q-x|| >= ||q-c|| - r, so cos(q,x) = 1 - ||q-x||^2/2
+    <= 1 - max(0, ||q-c|| - r)^2 / 2; lambda proximity is bounded by the
+    slab's lambda interval.  Slabs partition the corpus (spilled items
+    are covered by their adopted slab), so a certified query's served
+    top-k provably equals the exact blended-scan top-k at the slab scan
+    dtype (pass margin > 0 to absorb reduced-precision slabs)."""
+    i, s, inv, sims_sorted, lamq_sorted, probe_tbl = _route_scan_core(
+        centroids_unit, slabs, slab_lambdas, slab_ids, qn32, lamq32, tau,
+        k=k, qb=qb, q=q, cap=cap, n_probe=n_probe, interpret=interpret)
+    d_qc = jnp.sqrt(jnp.maximum(2.0 - 2.0 * sims_sorted, 0.0))   # [q, K]
+    cos_b = jnp.minimum(
+        1.0 - 0.5 * jnp.square(jnp.maximum(d_qc - radii[None, :], 0.0)),
+        1.0)
+    dl = jnp.maximum(
+        jnp.maximum(lam_lo[None, :] - lamq_sorted[:, None],
+                    lamq_sorted[:, None] - lam_hi[None, :]), 0.0)
+    bound = tau * cos_b + (1.0 - tau) * (1.0 / (1.0 + dl))
+    bound = jnp.where(nonempty[None, :], bound, -jnp.inf)
+    n_blocks = probe_tbl.shape[0]
+    probed = jnp.zeros((n_blocks, bound.shape[1]), dtype=bool)
+    rows = jnp.broadcast_to(jnp.arange(n_blocks)[:, None],
+                            probe_tbl.shape)
+    probed = probed.at[rows.reshape(-1), probe_tbl.reshape(-1)].set(True)
+    probed_q = probed[jnp.arange(q) // qb]                        # [q, K]
+    kth = s[:q, k - 1]
+    viol = jnp.any((bound > kth[:, None] + margin) & ~probed_q, axis=1)
+    cert_sorted = ~viol
+    return i[:q][inv[:q]], s[:q][inv[:q]], cert_sorted[inv[:q]]
 
 
 def q_block_for(q: int, q_block: int = 16) -> int:
@@ -253,8 +346,12 @@ def q_block_for(q: int, q_block: int = 16) -> int:
 
 def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
                        n_probe: int = 16, q_block: int = 16,
-                       interpret: bool | None = None):
-    """Blocked IVF top-k: (idx [Q, topk] int32, scores [Q, topk] f32).
+                       interpret: bool | None = None,
+                       certify: bool = False, margin: float = 0.0):
+    """Blocked IVF top-k: (idx [Q, topk] int32, scores [Q, topk] f32),
+    plus a per-query exactness certificate [Q] bool when certify=True
+    (see _blocked_ivf_cert_jit; requires an index built with
+    certify=True).
 
     Defaults from the routing sweep: q_block=16 queries share a probe list;
     with top-2 demand votes per member, n_probe=16 gives ~0.97 top-10
@@ -266,21 +363,30 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
     n_probe = max(1, min(n_probe, n_clusters))
     qb = q_block_for(q, q_block)
     k = max(1, min(topk, ivf.cap * n_probe))
-    return _blocked_ivf_jit(
-        ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
-        jnp.asarray(qn, dtype=jnp.float32),
-        jnp.asarray(lam_q, dtype=jnp.float32),
-        jnp.asarray(tau, dtype=jnp.float32),
-        k=k, qb=qb, q=q, cap=ivf.cap, n_probe=n_probe, interpret=interpret)
+    args = (ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
+            jnp.asarray(qn, dtype=jnp.float32),
+            jnp.asarray(lam_q, dtype=jnp.float32),
+            jnp.asarray(tau, dtype=jnp.float32))
+    kw = dict(k=k, qb=qb, q=q, cap=ivf.cap, n_probe=n_probe,
+              interpret=interpret)
+    if certify:
+        if ivf.radii is None:
+            raise ValueError("certify=True needs an index built with "
+                             "build_blocked_ivf(..., certify=True)")
+        return _blocked_ivf_cert_jit(
+            *args, ivf.radii, ivf.lam_lo, ivf.lam_hi, ivf.nonempty,
+            jnp.float32(margin), **kw)
+    return _blocked_ivf_jit(*args, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "qb", "q", "cap", "n_probe", "interpret", "rayleigh_normalized",
-    "tau_mix"))
+    "tau_mix", "certify"))
 def _blocked_ivf_serve_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
-                           q_raw, lap_f, w_f, tau_star, tau, *, k, qb, q,
+                           q_raw, lap_f, w_f, tau_star, tau, radii, lam_lo,
+                           lam_hi, nonempty, margin, *, k, qb, q,
                            cap, n_probe, interpret, rayleigh_normalized,
-                           tau_mix):
+                           tau_mix, certify):
     from ...ops.distance import unit_normalize
     from ...ops.rayleigh import dispersion_batch, rayleigh_batch
     from ...spectral.taumode import synthesize
@@ -291,6 +397,11 @@ def _blocked_ivf_serve_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
     g = dispersion_batch(q_raw, w_f, e_un)
     lam_q = synthesize(e, g, tau_star, tau_mix).astype(jnp.float32)
     qn = unit_normalize(q_raw.astype(jnp.float32))
+    if certify:
+        return _blocked_ivf_cert_jit(
+            centroids_unit, slabs, slab_lambdas, slab_ids, qn, lam_q, tau,
+            radii, lam_lo, lam_hi, nonempty, margin, k=k, qb=qb, q=q,
+            cap=cap, n_probe=n_probe, interpret=interpret)
     return _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
                             qn, lam_q, tau, k=k, qb=qb, q=q, cap=cap,
                             n_probe=n_probe, interpret=interpret)
@@ -301,7 +412,8 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
                              q_block: int = 16,
                              rayleigh_normalized: bool = False,
                              tau_mix: float | None = None,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             certify: bool = False, margin: float = 0.0):
     """ONE-dispatch blocked-IVF serving: query-lambda synthesis + routing
     + Pallas scan in a single compiled program (eager per-op dispatch
     costs a host round trip each on tunneled runtimes — same rationale as
@@ -315,13 +427,23 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
     n_probe = max(1, min(n_probe, n_clusters))
     qb = q_block_for(q, q_block)
     k = max(1, min(topk, ivf.cap * n_probe))
+    if certify and ivf.radii is None:
+        raise ValueError("certify=True needs an index built with "
+                         "build_blocked_ivf(..., certify=True)")
+    zero_k = jnp.zeros((n_clusters,), dtype=jnp.float32)
     return _blocked_ivf_serve_jit(
         ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
         jnp.asarray(queries, dtype=jnp.float32),
         jnp.asarray(lap_f, dtype=jnp.float32),
         jnp.asarray(w_f, dtype=jnp.float32),
         jnp.asarray(tau_star, dtype=jnp.float32),
-        jnp.asarray(tau, dtype=jnp.float32), k=k, qb=qb, q=q, cap=ivf.cap,
+        jnp.asarray(tau, dtype=jnp.float32),
+        ivf.radii if certify else zero_k,
+        ivf.lam_lo if certify else zero_k,
+        ivf.lam_hi if certify else zero_k,
+        ivf.nonempty if certify else zero_k.astype(bool),
+        jnp.float32(margin), k=k, qb=qb, q=q, cap=ivf.cap,
         n_probe=n_probe, interpret=interpret,
         rayleigh_normalized=rayleigh_normalized,
-        tau_mix=TAU_MIX if tau_mix is None else float(tau_mix))
+        tau_mix=TAU_MIX if tau_mix is None else float(tau_mix),
+        certify=certify)

@@ -210,3 +210,70 @@ def test_blocked_ivf_bf16_slabs(built):
                            set(np.asarray(bi)[r].tolist())) / 10
                        for r in range(8)])
     assert overlap >= 0.9, overlap
+
+
+def test_blocked_ivf_certification_sound(built):
+    """The per-query exactness certificate must be SOUND: every certified
+    query's served top-k equals the exact blended-scan top-k.  Full
+    probing certifies everything; tiny probing must leave some queries
+    uncertified (the bound has teeth) while staying sound."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas.ivf_scan import blocked_ivf_search
+    from pyarrowspace_tpu.ops.rayleigh import dispersion_batch, rayleigh_batch
+    from pyarrowspace_tpu.spectral.taumode import synthesize
+
+    from pyarrowspace_tpu.ops.pallas.ivf_scan import build_blocked_ivf
+
+    aspace, gl, items = built
+    aspace.enable_ivf(n_clusters=40)
+    ivf = build_blocked_ivf(aspace._data_unit, aspace._lambdas,
+                            aspace._centroids, aspace._assignments)
+    assert ivf.radii is not None
+
+    rng = np.random.default_rng(51)
+    # Mix of in-distribution and random (harder-to-route) queries.
+    queries = np.concatenate([
+        items[rng.choice(2000, 16, replace=False)] * 1.02,
+        rng.normal(size=(16, 32))])
+    q = jnp.asarray(queries, dtype=aspace._data.dtype)
+    e_un = rayleigh_batch(q, aspace._lap_f, normalized=False)
+    g = dispersion_batch(q, aspace._w_f, e_un)
+    lam_q = synthesize(e_un, g, aspace._tau_star, aspace._tau_mix)
+    qn32 = unit_normalize(jnp.asarray(queries, dtype=jnp.float32))
+    lam32 = lam_q.astype(jnp.float32)
+
+    ei, _ = aspace.search_batch(queries, gl, 0.62)
+
+    # Full probe: everything certified, everything exact.
+    _, _, cert_full = blocked_ivf_search(ivf, qn32, lam32, 0.62, 10,
+                                         n_probe=40, certify=True)
+    assert np.asarray(cert_full).all()
+
+    # Tiny probe: sound on certified queries, with real refusals.
+    bi, _, cert = blocked_ivf_search(ivf, qn32, lam32, 0.62, 10,
+                                     n_probe=3, certify=True)
+    cert = np.asarray(cert)
+    bi = np.asarray(bi)
+    for r in range(len(queries)):
+        if cert[r]:
+            assert set(bi[r].tolist()) == set(ei[r].tolist()), r
+    assert not cert.all(), "n_probe=3 certified everything — bound inert?"
+
+
+def test_search_batch_certify_surface(built):
+    """certify=True through the public surface: (idx, vals, cert) with a
+    sound certificate; rejected for non-ivf_block modes."""
+    import pytest as _pytest
+
+    aspace, gl, items = built
+    rng = np.random.default_rng(61)
+    queries = items[rng.choice(2000, 16, replace=False)] * 1.02
+    bi, bv, cert = aspace.search_batch(queries, gl, 0.62, mode="ivf_block",
+                                       n_probe=40, certify=True)
+    assert cert.shape == (16,) and cert.all()
+    ei, _ = aspace.search_batch(queries, gl, 0.62)
+    for r in range(16):
+        assert set(bi[r].tolist()) == set(ei[r].tolist())
+    with _pytest.raises(ValueError, match="certify"):
+        aspace.search_batch(queries, gl, 0.62, mode="exact", certify=True)
