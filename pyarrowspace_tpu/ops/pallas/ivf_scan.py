@@ -317,6 +317,18 @@ def _blocked_ivf_cert_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
     i, s, inv, sims_sorted, lamq_sorted, probe_tbl = _route_scan_core(
         centroids_unit, slabs, slab_lambdas, slab_ids, qn32, lamq32, tau,
         k=k, qb=qb, q=q, cap=cap, n_probe=n_probe, interpret=interpret)
+    viol = cert_violations(sims_sorted, lamq_sorted, s[:q, k - 1],
+                           probe_tbl, radii, lam_lo, lam_hi, nonempty,
+                           tau, margin, qb=qb, q=q)
+    cert_sorted = ~viol
+    return i[:q][inv[:q]], s[:q][inv[:q]], cert_sorted[inv[:q]]
+
+
+def cert_violations(sims_sorted, lamq_sorted, kth_sorted, probe_tbl, radii,
+                    lam_lo, lam_hi, nonempty, tau, margin, *, qb: int,
+                    q: int):
+    """Per-query bound violations (sorted-query order): True where some
+    UNPROBED cluster's upper bound beats the query's kth served score."""
     d_qc = jnp.sqrt(jnp.maximum(2.0 - 2.0 * sims_sorted, 0.0))   # [q, K]
     cos_b = jnp.minimum(
         1.0 - 0.5 * jnp.square(jnp.maximum(d_qc - radii[None, :], 0.0)),
@@ -332,10 +344,8 @@ def _blocked_ivf_cert_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
                             probe_tbl.shape)
     probed = probed.at[rows.reshape(-1), probe_tbl.reshape(-1)].set(True)
     probed_q = probed[jnp.arange(q) // qb]                        # [q, K]
-    kth = s[:q, k - 1]
-    viol = jnp.any((bound > kth[:, None] + margin) & ~probed_q, axis=1)
-    cert_sorted = ~viol
-    return i[:q][inv[:q]], s[:q][inv[:q]], cert_sorted[inv[:q]]
+    return jnp.any((bound > kth_sorted[:, None] + margin) & ~probed_q,
+                   axis=1)
 
 
 def q_block_for(q: int, q_block: int = 16) -> int:

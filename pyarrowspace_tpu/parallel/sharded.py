@@ -466,24 +466,33 @@ def _sharded_search_subtile(xs_pad, xf_pad, lam_pad, q, lap_f, w_f,
 
 @functools.partial(jax.jit, static_argnames=(
     "topk", "cap", "n_probe", "mesh", "tau_mix", "rayleigh_normalized",
-    "interpret"))
+    "interpret", "certify"))
 def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
-                              lap_f, w_f, tau_star, tau, *, topk, cap,
-                              n_probe, mesh, tau_mix, rayleigh_normalized,
-                              interpret):
+                              lap_f, w_f, tau_star, tau, radii_pad,
+                              lam_lo_pad, lam_hi_pad, nonempty_pad, margin,
+                              *, topk, cap, n_probe, mesh, tau_mix,
+                              rayleigh_normalized, interpret,
+                              certify=False):
     """Sharded blocked IVF: clusters partition across the mesh (contiguous
     slab ranges per device), each shard routes queries against its LOCAL
     centroids and probes its local top-n_probe clusters, then an
     all_gather merges per-shard top-k.  The probe union covers every
     shard, so recall >= the single-chip mode at equal n_probe; per-chip
     scan work is the same n_probe slabs.  slab_ids are global item ids,
-    so no offset arithmetic crosses the merge."""
-    from ..ops.pallas.ivf_scan import _blocked_ivf_jit, q_block_for
+    so no offset arithmetic crosses the merge.
+
+    certify=True additionally returns a per-query exactness certificate:
+    each shard checks its own unprobed clusters' upper bounds against the
+    MERGED kth score, and a psum ORs the violations — sound across the
+    whole corpus because the cluster slabs partition it."""
+    from ..ops.pallas.ivf_scan import (_route_scan_core, cert_violations,
+                                       q_block_for)
 
     n_q = q.shape[0]
     qb = q_block_for(n_q)
 
-    def body(cu, slabs, lam_s, ids_s, qb_, lap, wf, ts, tt):
+    def body(cu, slabs, lam_s, ids_s, qb_, lap, wf, ts, tt, rad, llo, lhi,
+             nem, mg):
         e_un = rayleigh_batch(qb_, lap, normalized=False)
         e = (rayleigh_batch(qb_, lap, normalized=True)
              if rayleigh_normalized else e_un)
@@ -491,10 +500,14 @@ def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
         lq = synthesize(e, g, ts, tau_mix).astype(jnp.float32)
         qn = unit_normalize(qb_.astype(jnp.float32), axis=-1)
         k_local = cu.shape[0]
-        idx, vals = _blocked_ivf_jit(
-            cu, slabs, lam_s, ids_s, qn, lq, tt.astype(jnp.float32),
-            k=topk, qb=qb, q=n_q, cap=cap,
-            n_probe=min(n_probe, k_local), interpret=interpret)
+        tt32 = tt.astype(jnp.float32)
+        i_s, s_s, inv, sims_sorted, lamq_sorted, probe_tbl = \
+            _route_scan_core(cu, slabs, lam_s, ids_s, qn, lq, tt32,
+                             k=topk, qb=qb, q=n_q, cap=cap,
+                             n_probe=min(n_probe, k_local),
+                             interpret=interpret)
+        idx = i_s[:n_q][inv[:n_q]]
+        vals = s_s[:n_q][inv[:n_q]]
         all_vals = jax.lax.all_gather(vals, DATA_AXIS)
         all_idx = jax.lax.all_gather(idx, DATA_AXIS)
         d = all_vals.shape[0]
@@ -502,14 +515,30 @@ def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
         mi = jnp.transpose(all_idx, (1, 0, 2)).reshape(n_q, d * topk)
         fv, fpos = jax.lax.top_k(mv, topk)
         fi = jnp.take_along_axis(mi, fpos, axis=1)
-        return fi, fv
+        if not certify:
+            return fi, fv
+        # Violations vs the MERGED kth, evaluated per shard on its own
+        # clusters; sorted-query order needs the merged kth reordered.
+        order = jnp.argsort(inv[:n_q], stable=True)
+        kth_sorted = fv[:, topk - 1][order]
+        viol = cert_violations(sims_sorted, lamq_sorted, kth_sorted,
+                               probe_tbl, rad, llo, lhi, nem, tt32, mg,
+                               qb=qb, q=n_q)
+        viol_any = jax.lax.psum(viol[inv[:n_q]].astype(jnp.int32),
+                                DATA_AXIS) > 0
+        return fi, fv, ~viol_any
 
+    out_specs = (P(), P(), P()) if certify else (P(), P())
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                             P(DATA_AXIS), P(), P(), P(), P(), P()),
-                   out_specs=(P(), P()), check_vma=False)
+                             P(DATA_AXIS), P(), P(), P(), P(), P(),
+                             P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                             P(DATA_AXIS), P()),
+                   out_specs=out_specs, check_vma=False)
     return fn(cu_pad, slabs_pad, lam_s_pad, ids_pad, q, lap_f, w_f,
-              tau_star, jnp.asarray(tau))
+              tau_star, jnp.asarray(tau), radii_pad, lam_lo_pad,
+              lam_hi_pad, nonempty_pad, jnp.asarray(margin,
+                                                    dtype=jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "mesh", "tau_mix",
@@ -713,11 +742,16 @@ class ShardedArrowSpace:
                 jax.device_put(ivf.slabs, row),
                 jax.device_put(ivf.slab_lambdas, row),
                 jax.device_put(ivf.slab_ids, row),
-                ivf.cap)
+                ivf.cap,
+                jax.device_put(ivf.radii, row),
+                jax.device_put(ivf.lam_lo, row),
+                jax.device_put(ivf.lam_hi, row),
+                jax.device_put(ivf.nonempty, row))
         return self._ivf_block_pad
 
     def search_batch(self, queries, tau: float, topk: Optional[int] = None,
-                     mode: str = "exact", n_probe: int = 16):
+                     mode: str = "exact", n_probe: int = 16,
+                     certify: bool = False, margin: float = 0.0):
         """(indices [Q, topk], scores [Q, topk]) — the multi-chip serving
         path; per-query cross-chip traffic is d*topk candidates.
 
@@ -738,17 +772,24 @@ class ShardedArrowSpace:
         q = jnp.asarray(queries, dtype=self._stored_pad.dtype)
         topk = self._params.topk if topk is None else int(topk)
         topk = min(topk, self._n_real)
+        if certify and mode != "ivf_block":
+            raise ValueError("certify=True requires mode='ivf_block'")
         if mode == "ivf_block":
-            cu, slabs, lam_s, ids, cap = self._ensure_ivf_block_state()
+            (cu, slabs, lam_s, ids, cap, radii, lam_lo, lam_hi,
+             nonempty) = self._ensure_ivf_block_state()
             interpret = jax.default_backend() not in ("tpu", "axon")
-            idx, vals = _sharded_search_ivf_block(
+            out = _sharded_search_ivf_block(
                 cu, slabs, lam_s, ids, q, self._lap_f, self._w_f,
                 self._tau_star, jnp.asarray(tau, dtype=q.dtype),
+                radii, lam_lo, lam_hi, nonempty, margin,
                 topk=topk, cap=cap, n_probe=n_probe, mesh=self.mesh,
                 tau_mix=self._tau_mix,
                 rayleigh_normalized=self._rayleigh_normalized,
-                interpret=interpret)
-            return np.asarray(idx), np.asarray(vals)
+                interpret=interpret, certify=certify)
+            if certify:
+                return (np.asarray(out[0]), np.asarray(out[1]),
+                        np.asarray(out[2]))
+            return np.asarray(out[0]), np.asarray(out[1])
         if mode == "subtile":
             xs, xf, lam = self._ensure_subtile_state()
             idx, vals = _sharded_search_subtile(

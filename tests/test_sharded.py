@@ -459,3 +459,36 @@ def test_padding_rows_never_served(pair):
     assert hi.max() < n
     href, _ = aspace.search_hybrid_batch(queries, gl, 0.05)
     assert np.array_equal(hi, href)
+
+
+def test_search_ivf_block_sharded_certified(pair):
+    """Sharded certification: full probe certifies everything; certified
+    queries at small n_probe match the exact top-k set (soundness across
+    the cluster partition via the psum'd violations)."""
+    from pyarrowspace_tpu.parallel import ShardedArrowSpace
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(40, 32))
+    items = np.repeat(base, 50, axis=0) + 0.15 * rng.normal(size=(2000, 32))
+    gp = {"eps": 0.9, "k": 6, "topk": 10, "p": 2.0, "sigma": 0.3}
+    aspace, gl = ArrowSpaceBuilder.build(gp, items)
+    aspace.enable_ivf(n_clusters=40)
+    sspace = ShardedArrowSpace.from_local(aspace, gl, make_mesh(8))
+
+    queries = np.concatenate([
+        items[rng.choice(2000, 8, replace=False)] * 1.02,
+        rng.normal(size=(8, 32))])
+    ei, _ = aspace.search_batch(queries, gl, 0.62)
+
+    fi, _, cert_full = sspace.search_batch(queries, 0.62, mode="ivf_block",
+                                           n_probe=40, certify=True)
+    assert cert_full.all()
+    for r in range(len(queries)):
+        assert set(fi[r].tolist()) == set(ei[r].tolist()), r
+
+    bi, _, cert = sspace.search_batch(queries, 0.62, mode="ivf_block",
+                                      n_probe=2, certify=True)
+    for r in range(len(queries)):
+        if cert[r]:
+            assert set(bi[r].tolist()) == set(ei[r].tolist()), r
+    assert not cert.all(), "n_probe=2 certified everything"
