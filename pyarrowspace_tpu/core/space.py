@@ -353,7 +353,11 @@ class ArrowSpace:
         (gather-based, best up to ~10^5 items); "ivf_block" uses the
         cluster-contiguous Pallas slab kernel (block-shared probes,
         large-corpus scale).  ivf modes are approximate; enable_ivf() is
-        built on demand.
+        built on demand;
+        "certified" serves EXACT results at IVF cost on routable queries:
+        ivf_block + per-query exactness certificates, then only the
+        refused queries escalate to the exact-quality "auto" path (the
+        escalation batch pads to powers of two to bound recompiles).
 
         certify=True (ivf_block only) additionally returns a per-query
         bool [Q]: True means the served top-k PROVABLY equals the exact
@@ -363,10 +367,30 @@ class ArrowSpace:
         if certify and mode != "ivf_block":
             raise ValueError("certify=True requires mode='ivf_block'")
         if mode not in ("auto", "exact", "int8", "subtile", "ivf",
-                        "ivf_block"):
+                        "ivf_block", "certified"):
             raise ValueError(f"unknown search mode {mode!r}; expected "
                              "'auto', 'exact', 'int8', 'subtile', 'ivf', "
-                             "or 'ivf_block'")
+                             "'ivf_block', or 'certified'")
+        if mode == "certified":
+            queries_np = np.asarray(queries)
+            idx, vals, cert = self.search_batch(
+                queries_np, gl, tau, topk=topk, mode="ivf_block",
+                n_probe=n_probe, certify=True)
+            bad = np.flatnonzero(~cert)
+            if bad.size:
+                # Pad the escalation batch to the next power of two
+                # (repeat the first refused query) so distinct refusal
+                # counts reuse a handful of compiled programs.
+                n_pad = 1 << int(bad.size - 1).bit_length()
+                sel = np.concatenate(
+                    [bad, np.full(n_pad - bad.size, bad[0])])
+                ei, ev = self.search_batch(queries_np[sel], gl, tau,
+                                           topk=topk, mode="auto")
+                idx = np.asarray(idx).copy()
+                vals = np.asarray(vals).copy()
+                idx[bad] = ei[: bad.size]
+                vals[bad] = ev[: bad.size]
+            return idx, vals
         if mode == "auto":
             mode = "subtile" if self.nitems >= 131_072 else "exact"
         q = jnp.asarray(queries, dtype=self._data.dtype)

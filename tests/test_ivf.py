@@ -277,3 +277,23 @@ def test_search_batch_certify_surface(built):
         assert set(bi[r].tolist()) == set(ei[r].tolist())
     with _pytest.raises(ValueError, match="certify"):
         aspace.search_batch(queries, gl, 0.62, mode="exact", certify=True)
+
+
+def test_certified_mode_is_exact(built):
+    """mode="certified" must serve the exact top-k for EVERY query (IVF
+    where certified, escalated exact scan elsewhere) — including
+    adversarial off-distribution queries that refuse certification."""
+    aspace, gl, items = built
+    rng = np.random.default_rng(71)
+    queries = np.concatenate([
+        items[rng.choice(2000, 8, replace=False)] * 1.02,
+        rng.normal(size=(8, 32)),
+        -items[rng.choice(2000, 3, replace=False)]])
+    ci, cv = aspace.search_batch(queries, gl, 0.62, mode="certified",
+                                 n_probe=8)
+    ei, ev = aspace.search_batch(queries, gl, 0.62, mode="exact")
+    for r in range(len(queries)):
+        assert set(ci[r].tolist()) == set(ei[r].tolist()), r
+    # scores agree on the common ordering
+    np.testing.assert_allclose(np.sort(cv, axis=1), np.sort(ev, axis=1),
+                               rtol=2e-5, atol=1e-6)
