@@ -762,10 +762,31 @@ class ShardedArrowSpace:
         — the highest-QPS exact mode, see ArrowSpace.search_batch);
         "ivf_block" (approximate) partitions the cluster slabs across
         chips, probing each shard's n_probe best local clusters — recall
-        >= the single-chip mode at equal n_probe."""
-        if mode not in ("auto", "exact", "subtile", "ivf_block"):
+        >= the single-chip mode at equal n_probe; "certified" serves
+        exact results at IVF cost on certified queries and escalates only
+        refusals to the "auto" path (see ArrowSpace.search_batch)."""
+        if mode not in ("auto", "exact", "subtile", "ivf_block",
+                        "certified"):
             raise ValueError(f"unknown search mode {mode!r}; expected "
-                             "'auto', 'exact', 'subtile', or 'ivf_block'")
+                             "'auto', 'exact', 'subtile', 'ivf_block', "
+                             "or 'certified'")
+        if mode == "certified":
+            queries_np = np.asarray(queries)
+            idx, vals, cert = self.search_batch(
+                queries_np, tau, topk=topk, mode="ivf_block",
+                n_probe=n_probe, certify=True, margin=margin)
+            bad = np.flatnonzero(~cert)
+            if bad.size:
+                n_pad = 1 << int(bad.size - 1).bit_length()
+                sel = np.concatenate(
+                    [bad, np.full(n_pad - bad.size, bad[0])])
+                ei, ev = self.search_batch(queries_np[sel], tau,
+                                           topk=topk, mode="auto")
+                idx = np.array(idx)
+                vals = np.array(vals)
+                idx[bad] = ei[: bad.size]
+                vals[bad] = ev[: bad.size]
+            return idx, vals
         if mode == "auto":
             per_shard = self._n_real // max(1, self.mesh.devices.size)
             mode = "subtile" if per_shard >= 131_072 else "exact"

@@ -492,3 +492,23 @@ def test_search_ivf_block_sharded_certified(pair):
         if cert[r]:
             assert set(bi[r].tolist()) == set(ei[r].tolist()), r
     assert not cert.all(), "n_probe=2 certified everything"
+
+
+def test_certified_mode_sharded_is_exact():
+    """Sharded mode="certified" serves the exact top-k for every query."""
+    from pyarrowspace_tpu.parallel import ShardedArrowSpace
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(40, 32))
+    items = np.repeat(base, 50, axis=0) + 0.15 * rng.normal(size=(2000, 32))
+    gp = {"eps": 0.9, "k": 6, "topk": 10, "p": 2.0, "sigma": 0.3}
+    aspace, gl = ArrowSpaceBuilder.build(gp, items)
+    aspace.enable_ivf(n_clusters=40)
+    sspace = ShardedArrowSpace.from_local(aspace, gl, make_mesh(8))
+    queries = np.concatenate([
+        items[rng.choice(2000, 6, replace=False)] * 1.02,
+        rng.normal(size=(6, 32))])
+    ci, _ = sspace.search_batch(queries, 0.62, mode="certified", n_probe=4)
+    ei, _ = aspace.search_batch(queries, gl, 0.62)
+    for r in range(len(queries)):
+        assert set(ci[r].tolist()) == set(ei[r].tolist()), r
