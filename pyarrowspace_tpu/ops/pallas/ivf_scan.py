@@ -73,14 +73,39 @@ def build_blocked_ivf(xu, lambdas, centroids, assignments,
     slot = np.full(k * cap, -1, dtype=np.int64)
     slot_idx = sorted_assign[in_slab] * cap + rank[in_slab]
     slot[slot_idx] = order[in_slab]
-    # Overflow items fill any remaining free slots (keeps every item
-    # reachable; they are simply routed with their adopted cluster).
+    # Overflow items spill to their NEAREST cluster with free capacity
+    # (keeps every item reachable; a near miss keeps that slab's covering
+    # radius tight — arbitrary spill blows up the adopting cluster's
+    # radius and with it the certification rate).  Candidate clusters per
+    # overflow item come from one device matmul; placement is a host
+    # greedy over the free-capacity table, with an any-free-slot fallback.
     overflow = order[~in_slab]
     if overflow.size:
-        free = np.flatnonzero(slot < 0)
-        if free.size < overflow.size:  # cap guarantees total slots >= n
-            raise AssertionError("slab capacity accounting violated")
-        slot[free[: overflow.size]] = overflow
+        free_per = cap - np.minimum(
+            np.bincount(assign, minlength=k), cap)    # slots left / cluster
+        cu_np = np.asarray(centroids, dtype=np.float32)
+        cu_np /= np.maximum(
+            np.linalg.norm(cu_np, axis=1, keepdims=True), 1e-30)
+        m_cand = min(8, k)
+        sims_o = jnp.matmul(
+            jnp.asarray(xu, dtype=jnp.float32)[jnp.asarray(overflow)],
+            jnp.asarray(cu_np).T, preferred_element_type=jnp.float32)
+        _, cand = jax.lax.top_k(sims_o, m_cand)
+        cand = np.asarray(cand)                       # [n_over, m_cand]
+        placed = np.full(overflow.size, False)
+        for j in range(overflow.size):
+            for c in cand[j]:
+                if free_per[c] > 0:
+                    slot[c * cap + (cap - free_per[c])] = overflow[j]
+                    free_per[c] -= 1
+                    placed[j] = True
+                    break
+        rest = overflow[~placed]
+        if rest.size:
+            free = np.flatnonzero(slot < 0)
+            if free.size < rest.size:  # cap guarantees total slots >= n
+                raise AssertionError("slab capacity accounting violated")
+            slot[free[: rest.size]] = rest
 
     # Only the [K*cap] slot table crosses the host-device link; the corpus
     # reorder itself is a device-side gather (round-tripping a multi-GB

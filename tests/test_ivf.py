@@ -297,3 +297,39 @@ def test_certified_mode_is_exact(built):
     # scores agree on the common ordering
     np.testing.assert_allclose(np.sort(cv, axis=1), np.sort(ev, axis=1),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_blocked_ivf_overflow_spills_to_near_clusters():
+    """Spilled items (beyond their cluster's capacity) must land in a
+    cluster among their nearest with free capacity — not an arbitrary
+    slot — so the adopting slab's covering radius stays tight."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas.ivf_scan import build_blocked_ivf
+
+    rng = np.random.default_rng(81)
+    n, f, k = 1200, 16, 8
+    x = rng.normal(size=(n, f))
+    xu = np.asarray(unit_normalize(jnp.asarray(x, dtype=jnp.float32)))
+    lams = rng.uniform(0.1, 0.9, size=n).astype(np.float32)
+    assign = np.where(rng.uniform(size=n) < 0.7, 0,
+                      rng.integers(1, k, size=n)).astype(np.int32)
+    cents = rng.normal(size=(k, f)).astype(np.float32)
+    ivf = build_blocked_ivf(jnp.asarray(xu), jnp.asarray(lams), cents,
+                            assign)
+    ids = np.asarray(ivf.slab_ids).reshape(k, ivf.cap)
+    cu = np.asarray(ivf.centroids_unit)
+    sims_all = xu @ cu.T                                  # [n, k]
+    nearest4 = np.argsort(-sims_all, axis=1)[:, :4]
+    spilled_near = spilled_total = 0
+    for c in range(k):
+        members = ids[c][ids[c] >= 0]
+        for item in members:
+            if assign[item] != c:                         # spilled here
+                spilled_total += 1
+                spilled_near += int(c in nearest4[item])
+    assert spilled_total > 0                              # skew forces spill
+    # The greedy fills nearest-with-capacity; with 30% of items across 7
+    # clusters, most spills find a near home.
+    assert spilled_near / spilled_total >= 0.5, (
+        spilled_near, spilled_total)
