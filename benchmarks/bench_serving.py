@@ -165,7 +165,9 @@ def main():
         # (perturbed corpus rows — the realistic serving case), certified
         # IVF + escalation of refusals to the exact scan.  End-to-end
         # walltime includes the certificate sync and the escalation.
-        if os.environ.get("SERV_CERTIFIED", "0") == "1":
+        # Requires f32 slabs (certification is unsound on bf16 scores).
+        if (os.environ.get("SERV_CERTIFIED", "0") == "1"
+                and slab_dtype is None):
             kq = jax.random.PRNGKey(7)
             qsets = []
             for r in range(reps):
@@ -176,6 +178,11 @@ def main():
                 qsets.append(qd)
             qsets[0].block_until_ready()
 
+            # Escalation batches round to 4 bucket sizes (all warmed
+            # below) so no cold compile lands inside the timed region.
+            buckets = sorted({max(256, q_batch // 64), q_batch // 16,
+                              q_batch // 4, q_batch})
+
             def serve_certified(qb_):
                 out = blocked_ivf_search_fused(
                     ivf_b, qb_, lap_f, w_f, ts, tau, topk,
@@ -185,7 +192,7 @@ def main():
                 cert = np.asarray(out[2])
                 bad = np.flatnonzero(~cert)
                 if bad.size:
-                    n_pad = 1 << int(bad.size - 1).bit_length()
+                    n_pad = next(b for b in buckets if b >= bad.size)
                     sel_b = np.concatenate(
                         [bad, np.full(n_pad - bad.size, bad[0])])
                     eo = fused_query_pipeline(
@@ -197,7 +204,12 @@ def main():
                     vals_c[bad] = np.asarray(eo[1])[: bad.size]
                 return idx_c, vals_c, float(cert.mean())
 
-            _ = serve_certified(qsets[-1])  # warm (both programs)
+            for b in buckets:   # warm every escalation program
+                _ = np.asarray(fused_query_pipeline(
+                    xu, lam32, lap_f, w_f, ts, qsets[-1][:b], tau,
+                    topk=topk, rayleigh_normalized=False,
+                    tau_mix=TAU_MIX, backend=backend)[0])
+            _ = serve_certified(qsets[-1])  # warm the certify program
             t0 = time.perf_counter()
             rates = [serve_certified(qb_)[2] for qb_ in qsets]
             dt = time.perf_counter() - t0

@@ -372,25 +372,21 @@ class ArrowSpace:
                              "'auto', 'exact', 'int8', 'subtile', 'ivf', "
                              "'ivf_block', or 'certified'")
         if mode == "certified":
+            from ..ops.pallas.ivf_scan import escalate_uncertified
             queries_np = np.asarray(queries)
+            topk_eff = min(gl.params.topk if topk is None else int(topk),
+                           self.nitems)
             idx, vals, cert = self.search_batch(
-                queries_np, gl, tau, topk=topk, mode="ivf_block",
+                queries_np, gl, tau, topk=topk_eff, mode="ivf_block",
                 n_probe=n_probe, certify=True)
-            bad = np.flatnonzero(~cert)
-            if bad.size:
-                # Pad the escalation batch to the next power of two
-                # (repeat the first refused query) so distinct refusal
-                # counts reuse a handful of compiled programs.
-                n_pad = 1 << int(bad.size - 1).bit_length()
-                sel = np.concatenate(
-                    [bad, np.full(n_pad - bad.size, bad[0])])
-                ei, ev = self.search_batch(queries_np[sel], gl, tau,
-                                           topk=topk, mode="auto")
-                idx = np.asarray(idx).copy()
-                vals = np.asarray(vals).copy()
-                idx[bad] = ei[: bad.size]
-                vals[bad] = ev[: bad.size]
-            return idx, vals
+            # Refusals escalate to mode="exact" (NOT "auto": at large N
+            # auto picks the bf16-selected subtile path, and certified's
+            # contract is f32-exact everywhere).
+            return escalate_uncertified(
+                idx, vals, cert,
+                lambda sel: self.search_batch(queries_np[sel], gl, tau,
+                                              topk=topk_eff, mode="exact"),
+                topk_eff)
         if mode == "auto":
             mode = "subtile" if self.nitems >= 131_072 else "exact"
         q = jnp.asarray(queries, dtype=self._data.dtype)

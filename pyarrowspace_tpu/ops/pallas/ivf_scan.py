@@ -83,7 +83,7 @@ def build_blocked_ivf(xu, lambdas, centroids, assignments,
     if overflow.size:
         free_per = cap - np.minimum(
             np.bincount(assign, minlength=k), cap)    # slots left / cluster
-        cu_np = np.asarray(centroids, dtype=np.float32)
+        cu_np = np.array(centroids, dtype=np.float32)  # writable copy
         cu_np /= np.maximum(
             np.linalg.norm(cu_np, axis=1, keepdims=True), 1e-30)
         m_cand = min(8, k)
@@ -92,14 +92,23 @@ def build_blocked_ivf(xu, lambdas, centroids, assignments,
             jnp.asarray(cu_np).T, preferred_element_type=jnp.float32)
         _, cand = jax.lax.top_k(sims_o, m_cand)
         cand = np.asarray(cand)                       # [n_over, m_cand]
-        placed = np.full(overflow.size, False)
-        for j in range(overflow.size):
-            for c in cand[j]:
-                if free_per[c] > 0:
-                    slot[c * cap + (cap - free_per[c])] = overflow[j]
-                    free_per[c] -= 1
-                    placed[j] = True
-                    break
+        placed = np.zeros(overflow.size, dtype=bool)
+        for m in range(m_cand):   # candidate rank, best first (vector pass)
+            rem = np.flatnonzero(~placed)
+            if rem.size == 0:
+                break
+            c_m = cand[rem, m]
+            order_m = np.argsort(c_m, kind="stable")
+            c_sorted = c_m[order_m]
+            starts_m = np.searchsorted(c_sorted, np.arange(k))
+            pos_in_c = np.arange(rem.size) - starts_m[c_sorted]
+            take = pos_in_c < free_per[c_sorted]
+            sel_items = rem[order_m[take]]
+            sel_c = c_sorted[take]
+            slot[sel_c * cap + (cap - free_per[sel_c])
+                 + pos_in_c[take]] = overflow[sel_items]
+            free_per -= np.bincount(sel_c, minlength=k)
+            placed[sel_items] = True
         rest = overflow[~placed]
         if rest.size:
             free = np.flatnonzero(slot < 0)
@@ -337,8 +346,11 @@ def _blocked_ivf_cert_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
     <= 1 - max(0, ||q-c|| - r)^2 / 2; lambda proximity is bounded by the
     slab's lambda interval.  Slabs partition the corpus (spilled items
     are covered by their adopted slab), so a certified query's served
-    top-k provably equals the exact blended-scan top-k at the slab scan
-    dtype (pass margin > 0 to absorb reduced-precision slabs)."""
+    top-k provably equals the exact f32 blended-scan top-k.  margin >= 0
+    makes the certificate MORE conservative (refuses queries whose kth
+    sits within margin of some unprobed bound); certification requires
+    f32 slabs — reduced-precision slab scores can mis-rank even probed
+    clusters, which no unprobed-cluster bound can repair."""
     i, s, inv, sims_sorted, lamq_sorted, probe_tbl = _route_scan_core(
         centroids_unit, slabs, slab_lambdas, slab_ids, qn32, lamq32, tau,
         k=k, qb=qb, q=q, cap=cap, n_probe=n_probe, interpret=interpret)
@@ -369,8 +381,15 @@ def cert_violations(sims_sorted, lamq_sorted, kth_sorted, probe_tbl, radii,
                             probe_tbl.shape)
     probed = probed.at[rows.reshape(-1), probe_tbl.reshape(-1)].set(True)
     probed_q = probed[jnp.arange(q) // qb]                        # [q, K]
-    return jnp.any((bound > kth_sorted[:, None] + margin) & ~probed_q,
-                   axis=1)
+    # margin >= 0 STRENGTHENS the certificate (more refusals): a cluster
+    # violates when its bound beats kth - margin - slack.  The built-in
+    # slack absorbs f32 accumulation-order skew between the bound's
+    # centroid matmul and the kernel's slab dot (scores are O(1), so an
+    # absolute 1e-5 covers ~F*eps dot-order drift at F <= a few thousand).
+    slack = jnp.float32(1e-5)
+    return jnp.any(
+        (bound > kth_sorted[:, None] - margin - slack) & ~probed_q,
+        axis=1)
 
 
 def q_block_for(q: int, q_block: int = 16) -> int:
@@ -408,6 +427,11 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
         if ivf.radii is None:
             raise ValueError("certify=True needs an index built with "
                              "build_blocked_ivf(..., certify=True)")
+        if ivf.slabs.dtype != jnp.float32:
+            raise ValueError(
+                "certify=True requires f32 slabs: reduced-precision slab "
+                "scores can mis-rank probed clusters, which the "
+                "unprobed-cluster bounds cannot detect")
         return _blocked_ivf_cert_jit(
             *args, ivf.radii, ivf.lam_lo, ivf.lam_hi, ivf.nonempty,
             jnp.float32(margin), **kw)
@@ -465,6 +489,11 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
     if certify and ivf.radii is None:
         raise ValueError("certify=True needs an index built with "
                          "build_blocked_ivf(..., certify=True)")
+    if certify and ivf.slabs.dtype != jnp.float32:
+        raise ValueError(
+            "certify=True requires f32 slabs: reduced-precision slab "
+            "scores can mis-rank probed clusters, which the "
+            "unprobed-cluster bounds cannot detect")
     zero_k = jnp.zeros((n_clusters,), dtype=jnp.float32)
     return _blocked_ivf_serve_jit(
         ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
@@ -482,3 +511,37 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
         rayleigh_normalized=rayleigh_normalized,
         tau_mix=TAU_MIX if tau_mix is None else float(tau_mix),
         certify=certify)
+
+
+def escalate_uncertified(idx, vals, cert, run_exact, topk: int):
+    """Splice exact results over certificate refusals (shared by the
+    single-chip and sharded mode="certified" paths so the escalation
+    semantics cannot drift).
+
+    idx/vals are the certified ivf_block outputs [Q, k_served].  When
+    k_served < topk (cap * n_probe clamped the served width) the
+    certificate cannot cover a top-`topk` request — every query
+    escalates.  `run_exact(sel)` must return exact [len(sel), topk]
+    results for the selected query indices; the escalation batch pads to
+    the next power of two so distinct refusal counts reuse a handful of
+    compiled programs."""
+    idx = np.array(idx)
+    vals = np.array(vals)
+    n_q = idx.shape[0]
+    if idx.shape[1] < topk:
+        bad = np.arange(n_q)
+    else:
+        bad = np.flatnonzero(~np.asarray(cert))
+    if bad.size == 0:
+        return idx, vals
+    n_pad = 1 << int(bad.size - 1).bit_length()
+    sel = np.concatenate([bad, np.full(n_pad - bad.size, bad[0])])
+    ei, ev = run_exact(sel)
+    ei = np.asarray(ei)[: bad.size]
+    ev = np.asarray(ev)[: bad.size]
+    if idx.shape[1] < topk:
+        idx = np.zeros((n_q, topk), dtype=ei.dtype)
+        vals = np.zeros((n_q, topk), dtype=ev.dtype)
+    idx[bad] = ei
+    vals[bad] = ev
+    return idx, vals

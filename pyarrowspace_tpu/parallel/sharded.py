@@ -771,22 +771,19 @@ class ShardedArrowSpace:
                              "'auto', 'exact', 'subtile', 'ivf_block', "
                              "or 'certified'")
         if mode == "certified":
+            from ..ops.pallas.ivf_scan import escalate_uncertified
             queries_np = np.asarray(queries)
+            topk_eff = min(self._params.topk if topk is None
+                           else int(topk), self._n_real)
             idx, vals, cert = self.search_batch(
-                queries_np, tau, topk=topk, mode="ivf_block",
+                queries_np, tau, topk=topk_eff, mode="ivf_block",
                 n_probe=n_probe, certify=True, margin=margin)
-            bad = np.flatnonzero(~cert)
-            if bad.size:
-                n_pad = 1 << int(bad.size - 1).bit_length()
-                sel = np.concatenate(
-                    [bad, np.full(n_pad - bad.size, bad[0])])
-                ei, ev = self.search_batch(queries_np[sel], tau,
-                                           topk=topk, mode="auto")
-                idx = np.array(idx)
-                vals = np.array(vals)
-                idx[bad] = ei[: bad.size]
-                vals[bad] = ev[: bad.size]
-            return idx, vals
+            return escalate_uncertified(
+                idx, vals, cert,
+                lambda sel: self.search_batch(queries_np[sel], tau,
+                                              topk=topk_eff,
+                                              mode="exact"),
+                topk_eff)
         if mode == "auto":
             per_shard = self._n_real // max(1, self.mesh.devices.size)
             mode = "subtile" if per_shard >= 131_072 else "exact"
