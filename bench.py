@@ -52,7 +52,7 @@ def _wait_backend():
     this, one cold refusal loses the whole benchmark run.
     """
     import jax
-    retries = int(os.environ.get("BENCH_BACKEND_RETRIES", 5))
+    retries = int(os.environ.get("BENCH_BACKEND_RETRIES", 12))
     for attempt in range(retries + 1):
         try:
             jax.devices()
