@@ -276,6 +276,7 @@ class ArrowSpace:
                                 keep_rate=1.0, k_clusters=n_clusters)
             self._centroids, self._assignments = (red.centroids,
                                                   red.assignments)
+            self._ivf_blocked = None   # slab layout follows the clustering
         self._ivf = build_ivf(self._centroids, self._assignments,
                               self.nitems, capacity_factor)
         return self._ivf

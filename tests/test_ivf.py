@@ -333,3 +333,20 @@ def test_blocked_ivf_overflow_spills_to_near_clusters():
     # clusters, most spills find a near home.
     assert spilled_near / spilled_total >= 0.5, (
         spilled_near, spilled_total)
+
+
+def test_certified_mode_narrow_serving_width_escalates(built):
+    """When cap * n_probe < topk the certificate cannot cover the request
+    width — every query must escalate to the exact path and the output
+    must still be [Q, topk] exact."""
+    aspace, gl, items = built
+    aspace.enable_ivf(n_clusters=40)   # cap=128 -> 128 < topk at n_probe=1
+    rng = np.random.default_rng(91)
+    queries = items[rng.choice(2000, 4, replace=False)] * 1.02
+    # cap is 128 here (lane-dim floor); topk=200 > cap * n_probe=1.
+    ci, cv = aspace.search_batch(queries, gl, 0.62, mode="certified",
+                                 topk=200, n_probe=1)
+    ei, ev = aspace.search_batch(queries, gl, 0.62, topk=200, mode="exact")
+    assert ci.shape == (4, 200)
+    assert np.array_equal(ci, ei)
+    np.testing.assert_allclose(cv, ev, rtol=1e-12)
