@@ -350,3 +350,38 @@ def test_certified_mode_narrow_serving_width_escalates(built):
     assert ci.shape == (4, 200)
     assert np.array_equal(ci, ei)
     np.testing.assert_allclose(cv, ev, rtol=1e-12)
+
+
+def test_certification_margin_is_conservative(built):
+    """margin > 0 must only REFUSE MORE (never certify a query that
+    margin=0 refused) — the conservative direction."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.ops.distance import unit_normalize
+    from pyarrowspace_tpu.ops.pallas.ivf_scan import (blocked_ivf_search,
+                                                      build_blocked_ivf)
+    from pyarrowspace_tpu.ops.rayleigh import dispersion_batch, rayleigh_batch
+    from pyarrowspace_tpu.spectral.taumode import synthesize
+
+    aspace, gl, items = built
+    aspace.enable_ivf(n_clusters=40)
+    ivf = build_blocked_ivf(aspace._data_unit, aspace._lambdas,
+                            aspace._centroids, aspace._assignments)
+    rng = np.random.default_rng(95)
+    queries = items[rng.choice(2000, 24, replace=False)] * 1.02
+    q = jnp.asarray(queries, dtype=aspace._data.dtype)
+    e_un = rayleigh_batch(q, aspace._lap_f, normalized=False)
+    g = dispersion_batch(q, aspace._w_f, e_un)
+    lam_q = synthesize(e_un, g, aspace._tau_star, aspace._tau_mix)
+    qn32 = unit_normalize(jnp.asarray(queries, dtype=jnp.float32))
+    lam32 = lam_q.astype(jnp.float32)
+    certs = {}
+    for m in (0.0, 0.05, 0.5):
+        _, _, c = blocked_ivf_search(ivf, qn32, lam32, 0.62, 10,
+                                     n_probe=6, certify=True, margin=m)
+        certs[m] = np.asarray(c)
+    assert (~certs[0.0] | certs[0.0]).all()  # sanity
+    # monotone: certified at larger margin => certified at smaller
+    assert not np.any(certs[0.05] & ~certs[0.0])
+    assert not np.any(certs[0.5] & ~certs[0.05])
+    # a large margin must actually bite on this fixture
+    assert certs[0.5].sum() <= certs[0.0].sum()
