@@ -224,12 +224,15 @@ def main():
     if only_ivf:
         # n_probe sweep runs: skip the exact/int8/subtile throughput
         # stages but keep ONE exact batch as the overlap reference.
-        args = dict(topk=topk, rayleigh_normalized=False, tau_mix=TAU_MIX,
-                    backend=backend)
-        ie = np.asarray(fused_query_pipeline(
-            xu, lam32, lap_f, w_f, ts, query_batches[0], tau, **args)[0])
-        run_ivf_block(ie, min(10, topk))
-        emit_results()
+        try:
+            args = dict(topk=topk, rayleigh_normalized=False,
+                        tau_mix=TAU_MIX, backend=backend)
+            ie = np.asarray(fused_query_pipeline(
+                xu, lam32, lap_f, w_f, ts, query_batches[0], tau,
+                **args)[0])
+            run_ivf_block(ie, min(10, topk))
+        finally:
+            emit_results()   # partial results survive a late failure
         return
     measure(xu, f"exact f32 ({backend})", backend)
     measure(xu.astype(jnp.bfloat16), f"exact bf16 ({backend})", backend)
