@@ -65,3 +65,27 @@ def test_energy_space_roundtrip(tmp_path):
     assert a2._energy_maps.candidate_m == aspace._energy_maps.candidate_m
     q = items[123] * 1.01
     assert a2.search_energy(q, gle2, 12) == aspace.search_energy(q, gle, 12)
+
+
+def test_loaded_index_serves_certified(tmp_path):
+    """Deployment path: save -> load -> mode='certified' serves exact
+    results (lazy blocked-IVF rebuild from the persisted clustering)."""
+    import numpy as np
+    from pyarrowspace_tpu import ArrowSpaceBuilder
+    from pyarrowspace_tpu.io import load_index, save_index
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(30, 24))
+    items = np.repeat(base, 40, axis=0) + 0.1 * rng.normal(size=(1200, 24))
+    gp = {"eps": 0.9, "k": 5, "topk": 10, "p": 2.0, "sigma": 0.3}
+    aspace, gl = ArrowSpaceBuilder.build(gp, items)
+    aspace.enable_ivf(n_clusters=30)
+    p = tmp_path / "idx.npz"
+    save_index(str(p), aspace, gl)
+    loaded, gl2 = load_index(str(p))
+    queries = items[rng.choice(1200, 6, replace=False)] * 1.02
+    ci, _ = loaded.search_batch(queries, gl2, 0.62, mode="certified",
+                                n_probe=6)
+    ei, _ = loaded.search_batch(queries, gl2, 0.62, mode="exact")
+    for r in range(6):
+        assert set(ci[r].tolist()) == set(ei[r].tolist()), r
