@@ -264,11 +264,35 @@ def _ivf_scan(slabs, lam_pad, id_pad, qn_pad, lamq_pad, probe_tbl, tau, *,
       id_pad)
 
 
+def _bound_matrix(sims, lamq, radii, lam_lo, lam_hi, nonempty, tau):
+    """Sound per-(query, cluster) score upper bound [rows, K]: unit-vector
+    triangle inequality around the unit centroid + lambda-interval
+    proximity; empty clusters bound to -inf."""
+    d_qc = jnp.sqrt(jnp.maximum(2.0 - 2.0 * sims, 0.0))
+    cos_b = jnp.minimum(
+        1.0 - 0.5 * jnp.square(jnp.maximum(d_qc - radii[None, :], 0.0)),
+        1.0)
+    dl = jnp.maximum(
+        jnp.maximum(lam_lo[None, :] - lamq[:, None],
+                    lamq[:, None] - lam_hi[None, :]), 0.0)
+    bound = tau * cos_b + (1.0 - tau) * (1.0 / (1.0 + dl))
+    return jnp.where(nonempty[None, :], bound, -jnp.inf)
+
+
 def _route_scan_core(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
-                     lamq32, tau, *, k, qb, q, cap, n_probe, interpret):
+                     lamq32, tau, *, k, qb, q, cap, n_probe, interpret,
+                     bound_state=None):
     """Shared routing + scan body (traced inside the jitted entry points).
     Returns sorted-order outputs plus the routing state the certification
-    pass reuses."""
+    pass reuses.
+
+    bound_state=(radii, lam_lo, lam_hi, nonempty) switches routing to
+    BOUND-ORDERED probing (branch-and-bound): each block probes the
+    n_probe clusters with the highest member score upper bounds, so the
+    potential certificate violators are exactly the clusters that get
+    probed — certification rates follow directly, and recall keeps (a
+    query's own cluster has near-maximal bound).  The last return value
+    is the [q, K] bound matrix (None under demand-vote routing)."""
     q_pad = ((q + qb - 1) // qb) * qb
     # Route individual queries, then sort by top centroid for coherence.
     sims_c = jnp.matmul(qn32, centroids_unit.T,
@@ -283,38 +307,52 @@ def _route_scan_core(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
     qn_pad = jnp.pad(qn_sorted, ((0, q_pad - q), (0, 0)))
     lamq_pad = jnp.broadcast_to(
         jnp.pad(lamq_sorted, (0, q_pad - q))[:, None], (q_pad, 128))
-    sims_pad = jnp.pad(sims_sorted, ((0, q_pad - q), (0, 0)),
-                       constant_values=0.0)
-    # Block probe table: demand votes -- each member query nominates its
-    # top-2 clusters (so with q_block <= n_probe/2 every member's best two
-    # clusters are guaranteed probed); remaining slots go to the clusters
-    # with the highest summed routing score.
-    n_vote = min(2, sims_pad.shape[1])
-    _, top2 = jax.lax.top_k(sims_pad, n_vote)
-    # Scatter votes straight into the [n_blocks, K] table (a [Q_pad, K]
-    # intermediate is 256 MB at Q=16k, K=4096 — pure waste).  Padded query
-    # rows (zero sims) must not vote — top_k on zeros returns clusters
-    # {0, 1}, which would crowd real demand out of the last block's list.
-    valid_q = (jnp.arange(q_pad) < q).astype(jnp.float32)
-    block_ids = jnp.broadcast_to(
-        (jnp.arange(q_pad) // qb)[:, None], top2.shape)
-    block_votes = jnp.zeros((q_pad // qb, sims_pad.shape[1]),
-                            dtype=jnp.float32)
-    block_votes = block_votes.at[block_ids.reshape(-1),
-                                 top2.reshape(-1)].add(
-        jnp.broadcast_to(valid_q[:, None], top2.shape).reshape(-1))
-    block_sims = jnp.sum(sims_pad.reshape(q_pad // qb, qb, -1), axis=1)
-    sims_01 = (block_sims - block_sims.min()) / jnp.maximum(
-        block_sims.max() - block_sims.min(), 1e-9)
-    _, probe_tbl = jax.lax.top_k(block_votes + 0.5 * sims_01, n_probe)
-    probe_tbl = probe_tbl.astype(jnp.int32)
+    bound_sorted = None
+    if bound_state is not None:
+        radii, lam_lo, lam_hi, nonempty = bound_state
+        bound_sorted = _bound_matrix(sims_sorted, lamq_sorted, radii,
+                                     lam_lo, lam_hi, nonempty, tau)
+        bound_pad = jnp.pad(bound_sorted, ((0, q_pad - q), (0, 0)),
+                            constant_values=-jnp.inf)
+        block_bound = jnp.max(
+            bound_pad.reshape(q_pad // qb, qb, -1), axis=1)
+        _, probe_tbl = jax.lax.top_k(block_bound, n_probe)
+        probe_tbl = probe_tbl.astype(jnp.int32)
+    else:
+        sims_pad = jnp.pad(sims_sorted, ((0, q_pad - q), (0, 0)),
+                           constant_values=0.0)
+        # Block probe table: demand votes -- each member query nominates
+        # its top-2 clusters (so with q_block <= n_probe/2 every member's
+        # best two clusters are guaranteed probed); remaining slots go to
+        # the clusters with the highest summed routing score.
+        n_vote = min(2, sims_pad.shape[1])
+        _, top2 = jax.lax.top_k(sims_pad, n_vote)
+        # Scatter votes straight into the [n_blocks, K] table (a [Q_pad,
+        # K] intermediate is 256 MB at Q=16k, K=4096 — pure waste).
+        # Padded query rows (zero sims) must not vote — top_k on zeros
+        # returns clusters {0, 1}, which would crowd real demand out of
+        # the last block's list.
+        valid_q = (jnp.arange(q_pad) < q).astype(jnp.float32)
+        block_ids = jnp.broadcast_to(
+            (jnp.arange(q_pad) // qb)[:, None], top2.shape)
+        block_votes = jnp.zeros((q_pad // qb, sims_pad.shape[1]),
+                                dtype=jnp.float32)
+        block_votes = block_votes.at[block_ids.reshape(-1),
+                                     top2.reshape(-1)].add(
+            jnp.broadcast_to(valid_q[:, None], top2.shape).reshape(-1))
+        block_sims = jnp.sum(sims_pad.reshape(q_pad // qb, qb, -1),
+                             axis=1)
+        sims_01 = (block_sims - block_sims.min()) / jnp.maximum(
+            block_sims.max() - block_sims.min(), 1e-9)
+        _, probe_tbl = jax.lax.top_k(block_votes + 0.5 * sims_01, n_probe)
+        probe_tbl = probe_tbl.astype(jnp.int32)
 
     lam_row = slab_lambdas.reshape(1, -1)
     id_row = slab_ids.reshape(1, -1)
     s, i = _ivf_scan(slabs, lam_row, id_row, qn_pad, lamq_pad,
                      probe_tbl, tau, k=k, q_block=qb, cap=cap,
                      n_probe=n_probe, interpret=interpret)
-    return i, s, inv, sims_sorted, lamq_sorted, probe_tbl
+    return i, s, inv, sims_sorted, lamq_sorted, probe_tbl, bound_sorted
 
 
 @functools.partial(jax.jit, static_argnames=("k", "qb", "q", "cap",
@@ -324,7 +362,7 @@ def _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
     """Routing + scan as ONE compiled program: eager per-op dispatch costs a
     host round trip each on tunneled runtimes, which dominated small-batch
     latency before fusion."""
-    i, s, inv, _, _, _ = _route_scan_core(
+    i, s, inv, _, _, _, _ = _route_scan_core(
         centroids_unit, slabs, slab_lambdas, slab_ids, qn32, lamq32, tau,
         k=k, qb=qb, q=q, cap=cap, n_probe=n_probe, interpret=interpret)
     # Unsort back to the caller's query order.
@@ -351,30 +389,20 @@ def _blocked_ivf_cert_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
     sits within margin of some unprobed bound); certification requires
     f32 slabs — reduced-precision slab scores can mis-rank even probed
     clusters, which no unprobed-cluster bound can repair."""
-    i, s, inv, sims_sorted, lamq_sorted, probe_tbl = _route_scan_core(
+    i, s, inv, _, _, probe_tbl, bound = _route_scan_core(
         centroids_unit, slabs, slab_lambdas, slab_ids, qn32, lamq32, tau,
-        k=k, qb=qb, q=q, cap=cap, n_probe=n_probe, interpret=interpret)
-    viol = cert_violations(sims_sorted, lamq_sorted, s[:q, k - 1],
-                           probe_tbl, radii, lam_lo, lam_hi, nonempty,
-                           tau, margin, qb=qb, q=q)
+        k=k, qb=qb, q=q, cap=cap, n_probe=n_probe, interpret=interpret,
+        bound_state=(radii, lam_lo, lam_hi, nonempty))
+    viol = cert_violations(bound, s[:q, k - 1], probe_tbl, margin,
+                           qb=qb, q=q)
     cert_sorted = ~viol
     return i[:q][inv[:q]], s[:q][inv[:q]], cert_sorted[inv[:q]]
 
 
-def cert_violations(sims_sorted, lamq_sorted, kth_sorted, probe_tbl, radii,
-                    lam_lo, lam_hi, nonempty, tau, margin, *, qb: int,
+def cert_violations(bound, kth_sorted, probe_tbl, margin, *, qb: int,
                     q: int):
     """Per-query bound violations (sorted-query order): True where some
     UNPROBED cluster's upper bound beats the query's kth served score."""
-    d_qc = jnp.sqrt(jnp.maximum(2.0 - 2.0 * sims_sorted, 0.0))   # [q, K]
-    cos_b = jnp.minimum(
-        1.0 - 0.5 * jnp.square(jnp.maximum(d_qc - radii[None, :], 0.0)),
-        1.0)
-    dl = jnp.maximum(
-        jnp.maximum(lam_lo[None, :] - lamq_sorted[:, None],
-                    lamq_sorted[:, None] - lam_hi[None, :]), 0.0)
-    bound = tau * cos_b + (1.0 - tau) * (1.0 / (1.0 + dl))
-    bound = jnp.where(nonempty[None, :], bound, -jnp.inf)
     n_blocks = probe_tbl.shape[0]
     probed = jnp.zeros((n_blocks, bound.shape[1]), dtype=bool)
     rows = jnp.broadcast_to(jnp.arange(n_blocks)[:, None],
@@ -415,7 +443,7 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
     q, _f = qn.shape
     n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
     n_probe = max(1, min(n_probe, n_clusters))
-    qb = q_block_for(q, q_block)
+    qb = q_block_for(q, 8 if (certify and q_block == 16) else q_block)
     k = max(1, min(topk, ivf.cap * n_probe))
     args = (ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
             jnp.asarray(qn, dtype=jnp.float32),
@@ -484,7 +512,11 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
     q, _f = queries.shape
     n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
     n_probe = max(1, min(n_probe, n_clusters))
-    qb = q_block_for(q, q_block)
+    # Certified serving defaults to smaller query blocks: the certificate
+    # is per-query but probes are block-shared, so a narrower block's
+    # bound-ordered probe list covers each member's violators better
+    # (measured 0.49 -> 0.90 certification at equal n_probe).
+    qb = q_block_for(q, 8 if (certify and q_block == 16) else q_block)
     k = max(1, min(topk, ivf.cap * n_probe))
     if certify and ivf.radii is None:
         raise ValueError("certify=True needs an index built with "

@@ -489,7 +489,7 @@ def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
                                        q_block_for)
 
     n_q = q.shape[0]
-    qb = q_block_for(n_q)
+    qb = q_block_for(n_q, 8 if certify else 16)
 
     def body(cu, slabs, lam_s, ids_s, qb_, lap, wf, ts, tt, rad, llo, lhi,
              nem, mg):
@@ -501,11 +501,13 @@ def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
         qn = unit_normalize(qb_.astype(jnp.float32), axis=-1)
         k_local = cu.shape[0]
         tt32 = tt.astype(jnp.float32)
-        i_s, s_s, inv, sims_sorted, lamq_sorted, probe_tbl = \
+        bound_state = ((rad, llo, lhi, nem) if certify else None)
+        i_s, s_s, inv, sims_sorted, lamq_sorted, probe_tbl, bound = \
             _route_scan_core(cu, slabs, lam_s, ids_s, qn, lq, tt32,
                              k=topk, qb=qb, q=n_q, cap=cap,
                              n_probe=min(n_probe, k_local),
-                             interpret=interpret)
+                             interpret=interpret,
+                             bound_state=bound_state)
         idx = i_s[:n_q][inv[:n_q]]
         vals = s_s[:n_q][inv[:n_q]]
         all_vals = jax.lax.all_gather(vals, DATA_AXIS)
@@ -521,8 +523,7 @@ def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
         # clusters; sorted-query order needs the merged kth reordered.
         order = jnp.argsort(inv[:n_q], stable=True)
         kth_sorted = fv[:, topk - 1][order]
-        viol = cert_violations(sims_sorted, lamq_sorted, kth_sorted,
-                               probe_tbl, rad, llo, lhi, nem, tt32, mg,
+        viol = cert_violations(bound, kth_sorted, probe_tbl, mg,
                                qb=qb, q=n_q)
         viol_any = jax.lax.psum(viol[inv[:n_q]].astype(jnp.int32),
                                 DATA_AXIS) > 0
