@@ -327,7 +327,8 @@ class ArrowSpace:
 
     def search_batch(self, queries, gl: GraphLaplacian, tau: float,
                      topk: Optional[int] = None, mode: str = "exact",
-                     n_probe: int = 8, certify: bool = False):
+                     n_probe: int = 8, certify: bool = False,
+                     n_widen: int = 2):
         """Batched lambda-aware search: queries [Q, F] ->
         (indices [Q, topk] np.int32, scores [Q, topk] np.float32/64).
         The high-QPS serving path (BASELINE.json north-star).
@@ -356,9 +357,11 @@ class ArrowSpace:
         large-corpus scale).  ivf modes are approximate; enable_ivf() is
         built on demand;
         "certified" serves EXACT results at IVF cost on routable queries:
-        ivf_block + per-query exactness certificates, then only the
-        refused queries escalate to the exact-quality "auto" path (the
-        escalation batch pads to powers of two to bound recompiles).
+        ivf_block + per-query exactness certificates; refusals first
+        re-probe at doubled n_probe (up to `n_widen` bound-ordered
+        widening rounds, still certified), and only queries no widening
+        round certifies escalate to the exact f32 scan (escalation and
+        widening batches pad to powers of two to bound recompiles).
 
         certify=True (ivf_block only) additionally returns a per-query
         bool [Q]: True means the served top-k PROVABLY equals the exact
@@ -373,16 +376,31 @@ class ArrowSpace:
                              "'auto', 'exact', 'int8', 'subtile', 'ivf', "
                              "'ivf_block', or 'certified'")
         if mode == "certified":
-            from ..ops.pallas.ivf_scan import escalate_uncertified
+            from ..ops.pallas.ivf_scan import (escalate_uncertified,
+                                               widen_refusals)
             queries_np = np.asarray(queries)
             topk_eff = min(gl.params.topk if topk is None else int(topk),
                            self.nitems)
             idx, vals, cert = self.search_batch(
                 queries_np, gl, tau, topk=topk_eff, mode="ivf_block",
                 n_probe=n_probe, certify=True)
-            # Refusals escalate to mode="exact" (NOT "auto": at large N
-            # auto picks the bf16-selected subtile path, and certified's
-            # contract is f32-exact everywhere).
+            # Refusals first WIDEN (bound-ordered deepening: re-probe at
+            # doubled n_probe, still certified) while a probe round stays
+            # well under the exact scan's cost; only the queries no
+            # widening round certifies escalate to mode="exact" (NOT
+            # "auto": at large N auto picks the bf16-selected subtile
+            # path, and certified's contract is f32-exact everywhere).
+            ivf = self._ivf_blocked
+            n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
+            n_probe_max = min(n_clusters,
+                              self.nitems // max(1, 2 * ivf.cap),
+                              n_probe << n_widen)
+            idx, vals, cert = widen_refusals(
+                idx, vals, cert,
+                lambda sel, np2: self.search_batch(
+                    queries_np[sel], gl, tau, topk=topk_eff,
+                    mode="ivf_block", n_probe=np2, certify=True),
+                topk_eff, n_probe, n_probe_max)
             return escalate_uncertified(
                 idx, vals, cert,
                 lambda sel: self.search_batch(queries_np[sel], gl, tau,

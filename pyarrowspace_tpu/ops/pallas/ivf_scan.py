@@ -545,6 +545,56 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
         certify=certify)
 
 
+def widen_refusals(idx, vals, cert, run_certified, topk: int,
+                   n_probe: int, n_probe_max: int):
+    """Iterative bound-ordered widening (branch-and-bound deepening):
+    re-serve certificate refusals at doubled n_probe while each probe
+    round stays far cheaper than the exact scan, splicing in newly
+    certified results.  Returns (idx, vals, cert) with cert updated;
+    remaining refusals are the caller's to escalate
+    (escalate_uncertified).  Shared by the single-chip and sharded
+    mode="certified" paths so the escalation semantics cannot drift.
+
+    `run_certified(sel, n_probe)` must return certified ivf_block
+    results (idx, vals, cert) for the selected query indices at the
+    given n_probe.  Each round's selection pads to the next power of two
+    so distinct refusal counts reuse a handful of compiled programs.
+    Soundness: a spliced row is only accepted when its OWN certificate
+    at the wider probe list holds, so every returned certified row is
+    provably the exact blended-scan top-k regardless of how many rounds
+    it took."""
+    idx = np.array(idx)
+    vals = np.array(vals)
+    cert = np.array(cert, dtype=bool)
+    if idx.shape[1] < topk:
+        # Served width was clamped by cap * n_probe below the requested
+        # topk: nothing served at this width is usable, but widening
+        # raises the width together with the probe list.
+        cert = np.zeros_like(cert)
+    np_cur = n_probe
+    while np_cur * 2 <= n_probe_max:
+        bad = np.flatnonzero(~cert)
+        if bad.size == 0:
+            break
+        np_cur *= 2
+        n_pad = 1 << int(bad.size - 1).bit_length()
+        sel = np.concatenate([bad, np.full(n_pad - bad.size, bad[0])])
+        i2, v2, c2 = run_certified(sel, np_cur)
+        i2 = np.asarray(i2)[: bad.size]
+        v2 = np.asarray(v2)[: bad.size]
+        c2 = np.asarray(c2)[: bad.size].astype(bool)
+        if i2.shape[1] < topk:
+            continue  # still width-clamped; keep widening
+        if idx.shape[1] < topk:
+            idx = np.zeros((idx.shape[0], topk), dtype=i2.dtype)
+            vals = np.zeros((vals.shape[0], topk), dtype=v2.dtype)
+        hit = bad[c2]
+        idx[hit] = i2[c2, :topk]
+        vals[hit] = v2[c2, :topk]
+        cert[hit] = True
+    return idx, vals, cert
+
+
 def escalate_uncertified(idx, vals, cert, run_exact, topk: int):
     """Splice exact results over certificate refusals (shared by the
     single-chip and sharded mode="certified" paths so the escalation

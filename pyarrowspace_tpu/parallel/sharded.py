@@ -752,7 +752,8 @@ class ShardedArrowSpace:
 
     def search_batch(self, queries, tau: float, topk: Optional[int] = None,
                      mode: str = "exact", n_probe: int = 16,
-                     certify: bool = False, margin: float = 0.0):
+                     certify: bool = False, margin: float = 0.0,
+                     n_widen: int = 2):
         """(indices [Q, topk], scores [Q, topk]) — the multi-chip serving
         path; per-query cross-chip traffic is d*topk candidates.
 
@@ -764,21 +765,39 @@ class ShardedArrowSpace:
         "ivf_block" (approximate) partitions the cluster slabs across
         chips, probing each shard's n_probe best local clusters — recall
         >= the single-chip mode at equal n_probe; "certified" serves
-        exact results at IVF cost on certified queries and escalates only
-        refusals to the "auto" path (see ArrowSpace.search_batch)."""
+        exact results at IVF cost on certified queries, re-probes
+        refusals at doubled n_probe (up to n_widen rounds) and escalates
+        only the rest to the exact scan (see ArrowSpace.search_batch)."""
         if mode not in ("auto", "exact", "subtile", "ivf_block",
                         "certified"):
             raise ValueError(f"unknown search mode {mode!r}; expected "
                              "'auto', 'exact', 'subtile', 'ivf_block', "
                              "or 'certified'")
         if mode == "certified":
-            from ..ops.pallas.ivf_scan import escalate_uncertified
+            from ..ops.pallas.ivf_scan import (escalate_uncertified,
+                                               widen_refusals)
             queries_np = np.asarray(queries)
             topk_eff = min(self._params.topk if topk is None
                            else int(topk), self._n_real)
             idx, vals, cert = self.search_batch(
                 queries_np, tau, topk=topk_eff, mode="ivf_block",
                 n_probe=n_probe, certify=True, margin=margin)
+            # Bound-ordered widening before the exact escalation (same
+            # helper as the single-chip path).  n_probe counts LOCAL
+            # clusters per shard here, so the ceilings are per-shard.
+            d = max(1, self.mesh.devices.size)
+            cap = self._ensure_ivf_block_state()[4]
+            local_k = int(self._ivf_block_pad[2].shape[0] // cap) // d
+            n_probe_max = min(local_k,
+                              (self._n_real // d) // max(1, 2 * cap),
+                              n_probe << n_widen)
+            idx, vals, cert = widen_refusals(
+                idx, vals, cert,
+                lambda sel, np2: self.search_batch(
+                    queries_np[sel], tau, topk=topk_eff,
+                    mode="ivf_block", n_probe=np2, certify=True,
+                    margin=margin),
+                topk_eff, n_probe, n_probe_max)
             return escalate_uncertified(
                 idx, vals, cert,
                 lambda sel: self.search_batch(queries_np[sel], tau,

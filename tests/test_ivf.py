@@ -337,19 +337,30 @@ def test_blocked_ivf_overflow_spills_to_near_clusters():
 
 def test_certified_mode_narrow_serving_width_escalates(built):
     """When cap * n_probe < topk the certificate cannot cover the request
-    width — every query must escalate to the exact path and the output
-    must still be [Q, topk] exact."""
+    width.  With widening disabled (n_widen=0) every query must escalate
+    to the exact path (bitwise f64 output); with widening on, the grown
+    probe width may serve queries f32-certified — still the exact top-k
+    set."""
     aspace, gl, items = built
     aspace.enable_ivf(n_clusters=40)   # cap=128 -> 128 < topk at n_probe=1
     rng = np.random.default_rng(91)
     queries = items[rng.choice(2000, 4, replace=False)] * 1.02
+    ei, ev = aspace.search_batch(queries, gl, 0.62, topk=200, mode="exact")
     # cap is 128 here (lane-dim floor); topk=200 > cap * n_probe=1.
     ci, cv = aspace.search_batch(queries, gl, 0.62, mode="certified",
-                                 topk=200, n_probe=1)
-    ei, ev = aspace.search_batch(queries, gl, 0.62, topk=200, mode="exact")
+                                 topk=200, n_probe=1, n_widen=0)
     assert ci.shape == (4, 200)
     assert np.array_equal(ci, ei)
     np.testing.assert_allclose(cv, ev, rtol=1e-12)
+    # Widening grows the served width past topk (n_probe 1 -> 2 -> 4);
+    # whatever certifies is served f32-exact, the rest escalates.
+    wi, wv = aspace.search_batch(queries, gl, 0.62, mode="certified",
+                                 topk=200, n_probe=1)
+    assert wi.shape == (4, 200)
+    for r in range(4):
+        assert set(wi[r].tolist()) == set(ei[r].tolist()), r
+    np.testing.assert_allclose(np.sort(wv, axis=1), np.sort(ev, axis=1),
+                               rtol=2e-5, atol=1e-6)
 
 
 def test_certification_margin_is_conservative(built):
@@ -385,3 +396,104 @@ def test_certification_margin_is_conservative(built):
     assert not np.any(certs[0.5] & ~certs[0.05])
     # a large margin must actually bite on this fixture
     assert certs[0.5].sum() <= certs[0.0].sum()
+
+
+def test_widen_refusals_mechanics():
+    """Bound-ordered widening unit mechanics: refusals re-probe at doubled
+    n_probe, only rows whose OWN certificate holds are spliced, batches
+    pad to powers of two, and the n_probe ceiling stops the loop."""
+    from pyarrowspace_tpu.ops.pallas.ivf_scan import widen_refusals
+
+    topk, n_q = 4, 5
+    idx0 = np.full((n_q, topk), -7, dtype=np.int32)
+    val0 = np.zeros((n_q, topk), dtype=np.float32)
+    cert0 = np.array([True, False, False, False, False])
+    calls = []
+
+    def run_certified(sel, np2):
+        calls.append((list(sel), np2))
+        m = len(sel)
+        i = np.full((m, topk), np2, dtype=np.int32)
+        v = np.full((m, topk), float(np2), dtype=np.float32)
+        c = np.array([(s == 1 and np2 >= 4) or (s == 2 and np2 >= 8)
+                      for s in sel])
+        return i, v, c
+
+    idx, vals, cert = widen_refusals(idx0, val0, cert0, run_certified,
+                                     topk, n_probe=2, n_probe_max=8)
+    assert cert.tolist() == [True, True, True, False, False]
+    assert (idx[1] == 4).all() and (vals[1] == 4.0).all()   # round 1 splice
+    assert (idx[2] == 8).all() and (vals[2] == 8.0).all()   # round 2 splice
+    assert (idx[0] == -7).all() and (idx[3] == -7).all()    # untouched
+    # two rounds (2->4->8), each padded to a power of two
+    assert [c[1] for c in calls] == [4, 8]
+    assert [len(c[0]) for c in calls] == [4, 4]   # {1,2,3,4}, {2,3,4}+pad
+    # the ceiling stops a third round even though refusals remain
+    assert len(calls) == 2
+
+
+def test_widen_refusals_width_growth():
+    """When the initial serving width is clamped below topk, widening must
+    treat everything as refused and grow the output width once a round
+    serves the full topk."""
+    from pyarrowspace_tpu.ops.pallas.ivf_scan import widen_refusals
+
+    topk = 4
+    idx0 = np.zeros((3, 2), dtype=np.int32)       # width 2 < topk
+    val0 = np.zeros((3, 2), dtype=np.float32)
+    cert0 = np.array([True, True, True])           # ignored: width-clamped
+
+    def run_certified(sel, np2):
+        m = len(sel)
+        w = 2 if np2 == 4 else topk                 # first round still narrow
+        i = np.full((m, w), np2, dtype=np.int32)
+        v = np.full((m, w), float(np2), dtype=np.float32)
+        return i, v, np.ones(m, dtype=bool)
+
+    idx, vals, cert = widen_refusals(idx0, val0, cert0, run_certified,
+                                     topk, n_probe=2, n_probe_max=16)
+    assert idx.shape == (3, topk) and cert.all()
+    assert (idx == 8).all()                         # the np2=8 wide round
+
+
+def test_certified_mode_widening_integration(built, monkeypatch):
+    """mode="certified" with widening: exactness holds for every query and
+    the certificate handed to the exact-escalation stage is at least as
+    good as the raw n_probe certificate (widening only adds)."""
+    import pyarrowspace_tpu.ops.pallas.ivf_scan as ivf_mod
+
+    aspace, gl, items = built
+    aspace.enable_ivf(n_clusters=40)
+    rng = np.random.default_rng(101)
+    queries = np.concatenate([
+        items[rng.choice(2000, 12, replace=False)] * 1.02,
+        rng.normal(size=(4, 32))])
+
+    _, _, cert_raw = aspace.search_batch(queries, gl, 0.62,
+                                         mode="ivf_block", n_probe=3,
+                                         certify=True)
+    seen = {}
+    orig_esc = ivf_mod.escalate_uncertified
+    orig_widen = ivf_mod.widen_refusals
+
+    def spy_esc(idx, vals, cert, run_exact, topk):
+        seen["cert_after_widen"] = np.array(cert, dtype=bool)
+        return orig_esc(idx, vals, cert, run_exact, topk)
+
+    def spy_widen(idx, vals, cert, run_certified, topk, n_probe,
+                  n_probe_max):
+        seen["n_probe_max"] = n_probe_max
+        return orig_widen(idx, vals, cert, run_certified, topk, n_probe,
+                          n_probe_max)
+
+    monkeypatch.setattr(ivf_mod, "escalate_uncertified", spy_esc)
+    monkeypatch.setattr(ivf_mod, "widen_refusals", spy_widen)
+
+    ci, cv = aspace.search_batch(queries, gl, 0.62, mode="certified",
+                                 n_probe=3, n_widen=4)
+    ei, ev = aspace.search_batch(queries, gl, 0.62, mode="exact")
+    for r in range(len(queries)):
+        assert set(ci[r].tolist()) == set(ei[r].tolist()), r
+    assert seen["n_probe_max"] >= 6            # widening was possible
+    after = seen["cert_after_widen"]
+    assert after.sum() >= cert_raw.sum()       # widening only adds
