@@ -23,6 +23,20 @@ def main():
     from protocols import force_cpu_if_requested
     force_cpu_if_requested()   # ARROWSPACE_CPU=1: CPU smoke runs off-TPU
     import jax
+    # Patient backend init (same recipe as bench.py:_wait_backend): the
+    # axon tunnel refuses grants for minutes-to-hours at a time, and jax
+    # only caches SUCCESSFUL backend init, so retrying genuinely retries.
+    retries = int(os.environ.get("BENCH_BACKEND_RETRIES", 12))
+    for attempt in range(retries + 1):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == retries:
+                raise
+            print(f"# backend unavailable (attempt {attempt + 1}/"
+                  f"{retries}): {e}", file=sys.stderr, flush=True)
+            time.sleep(60)
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -69,9 +83,30 @@ def main():
     # executions with identical inputs, which silently turns a throughput
     # measurement into a cache hit.
     reps = 6
-    query_batches = [jnp.asarray(rng.standard_normal((q_batch, f),
-                                                     dtype=np.float32))
-                     for _ in range(reps)]
+    # Query model.  Throughput is data-independent (fixed shapes), but the
+    # overlap/certification metrics are not: with a mixture corpus the
+    # realistic serving case is IN-DISTRIBUTION queries (perturbed corpus
+    # rows at a fixed RELATIVE perturbation norm).  A per-dim gaussian
+    # with sigma 0.05 at F=768 has norm ~1.39 — it swamps the unit corpus
+    # row (cos ~ 0.58), an adversarial out-of-distribution query model
+    # under which IVF overlap numbers are noise.  SERV_QMODEL=gauss keeps
+    # the old iid-gaussian batches.
+    qnoise = float(os.environ.get("SERV_QNOISE", 0.25))
+    if (os.environ.get("SERV_MIXTURE", "0") == "1"
+            and os.environ.get("SERV_QMODEL", "indist") == "indist"):
+        kq0 = jax.random.PRNGKey(11)
+        query_batches = []
+        for _ in range(reps):
+            kq0, k1, k2 = jax.random.split(kq0, 3)
+            rows = jax.random.randint(k1, (q_batch,), 0, n)
+            query_batches.append(
+                xu[rows] + (qnoise / np.sqrt(f)) * jax.random.normal(
+                    k2, (q_batch, f), dtype=jnp.float32))
+        query_batches[-1].block_until_ready()
+    else:
+        query_batches = [jnp.asarray(rng.standard_normal((q_batch, f),
+                                                         dtype=np.float32))
+                         for _ in range(reps)]
     tau = jnp.float32(0.62)
 
     def measure(xu_serv, name, backend):
@@ -104,6 +139,10 @@ def main():
     results = {"config": {
         "n": n, "f": f, "q_batch": q_batch, "topk": topk, "reps": reps,
         "mixture": os.environ.get("SERV_MIXTURE", "0") == "1",
+        "query_model": (os.environ.get("SERV_QMODEL", "indist")
+                        if os.environ.get("SERV_MIXTURE", "0") == "1"
+                        else "gauss"),
+        "query_noise_rel": qnoise,
         "backend": jax.default_backend()}, "modes": {}}
 
     def emit_results():
@@ -115,25 +154,33 @@ def main():
         print(f"results -> {out_dir}/serving_results.json")
 
     def run_ivf_block(ie, k_ov):
-        from pyarrowspace_tpu.ops.pallas.ivf_scan import (
-            blocked_ivf_search_fused, build_blocked_ivf)
-        from pyarrowspace_tpu.reduction.pipeline import _lloyd
+        from pyarrowspace_tpu.reduction.pipeline import (lloyd_reseed,
+                                                         lloyd_tighten,
+                                                         planned_slab_cap)
         k_cl = int(os.environ.get("SERV_CLUSTERS", 4096))
-        n_probe = int(os.environ.get("SERV_NPROBE", 16))
         sel = jnp.asarray(rng.choice(n, size=k_cl, replace=False))
-        cents, assigns = _lloyd(xu, xu[sel], 8)
-        run_ivf_block2(ie, k_ov, cents, assigns)
+        # Empty-cluster reseeding + radius/size tightening: plain
+        # random-init Lloyd merges mixture components (near-sqrt(2)
+        # covering radii) and leaves oversized clusters that SPILL in the
+        # slab build — both saturate the certification bound (0% certified
+        # at 1M x 768) and cost recall at low n_probe.
+        cap_plan = planned_slab_cap(n, k_cl)
+        cents, assigns = lloyd_reseed(xu, xu[sel], 12, seed=0)
+        cents, assigns = lloyd_tighten(xu, cents, max_size=cap_plan)
+        print(f"clusters: {k_cl} requested -> {cents.shape[0]} after "
+              "radius/size tightening", flush=True)
+        run_ivf_block2(ie, k_ov, cents, assigns, min_cap=cap_plan)
 
-    def run_ivf_block2(ie, k_ov, cents, assigns):
+    def run_ivf_block2(ie, k_ov, cents, assigns, min_cap=None):
         from pyarrowspace_tpu.ops.pallas.ivf_scan import (
             blocked_ivf_search_fused, build_blocked_ivf)
-        k_cl = int(os.environ.get("SERV_CLUSTERS", 4096))
+        k_cl = int(cents.shape[0])
         n_probe = int(os.environ.get("SERV_NPROBE", 16))
         slab_dtype = (jnp.bfloat16 if os.environ.get("SERV_IVF_DTYPE")
                       == "bf16" else None)
         ivf_b = build_blocked_ivf(xu, lam32, np.asarray(cents),
                                   np.asarray(assigns),
-                                  slab_dtype=slab_dtype)
+                                  slab_dtype=slab_dtype, min_cap=min_cap)
         ivf_b.slabs.block_until_ready()
         # ONE dispatch per batch: query-lambda synthesis fused with the
         # routing + scan (same convention as the other served modes).
@@ -173,8 +220,9 @@ def main():
             for r in range(reps):
                 kq, k1, k2 = jax.random.split(kq, 3)
                 rows = jax.random.randint(k1, (q_batch,), 0, n)
-                qd = (xu[rows] + 0.05 * jax.random.normal(
-                    k2, (q_batch, f), dtype=jnp.float32))
+                qd = (xu[rows]
+                      + (qnoise / np.sqrt(f)) * jax.random.normal(
+                          k2, (q_batch, f), dtype=jnp.float32))
                 qsets.append(qd)
             qsets[0].block_until_ready()
 

@@ -272,10 +272,26 @@ class ArrowSpace:
 
         if self._centroids is None or n_clusters is not None:
             from ..reduction import reduce_corpus
+            # reseed_empty: serving-quality clustering — random-init Lloyd
+            # merges mixture components (huge covering radii), which wrecks
+            # IVF recall at low n_probe and saturates the certification
+            # bound (reduction/pipeline.lloyd_reseed docstring).
             red = reduce_corpus(self._data, seed=self._params.seed,
-                                keep_rate=1.0, k_clusters=n_clusters)
-            self._centroids, self._assignments = (red.centroids,
-                                                  red.assignments)
+                                keep_rate=1.0, k_clusters=n_clusters,
+                                reseed_empty=True)
+            # Tighten in UNIT space (the space the slab scan scores in):
+            # grow centroids until every covering radius is small enough
+            # for the certification bound to discriminate — one fat
+            # cluster refuses every certified query
+            # (reduction/pipeline.lloyd_tighten).  K may grow past
+            # n_clusters on data the reseeding Lloyd cannot separate.
+            from ..reduction.pipeline import lloyd_tighten, planned_slab_cap
+            cents_u = unit_normalize(jnp.asarray(red.centroids,
+                                                 dtype=self._data.dtype))
+            self._ivf_cap_plan = planned_slab_cap(self.nitems,
+                                                  int(cents_u.shape[0]))
+            self._centroids, self._assignments = lloyd_tighten(
+                self._data_unit, cents_u, max_size=self._ivf_cap_plan)
             self._ivf_blocked = None   # slab layout follows the clustering
         self._ivf = build_ivf(self._centroids, self._assignments,
                               self.nitems, capacity_factor)
@@ -455,9 +471,12 @@ class ArrowSpace:
                 from ..ops.pallas.ivf_scan import (blocked_ivf_search_fused,
                                                    build_blocked_ivf)
                 if getattr(self, "_ivf_blocked", None) is None:
+                    # min_cap keeps the spill-free guarantee from the
+                    # size-capped clustering even when tightening grew K.
                     self._ivf_blocked = build_blocked_ivf(
                         self._data_unit, self._lambdas, self._centroids,
-                        self._assignments)
+                        self._assignments,
+                        min_cap=getattr(self, "_ivf_cap_plan", None))
                 # One compiled program (synthesis + routing + scan): eager
                 # per-op dispatch costs a host round trip each on tunneled
                 # runtimes.

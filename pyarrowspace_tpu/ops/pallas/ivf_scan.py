@@ -53,17 +53,25 @@ class BlockedIVF(NamedTuple):
 
 def build_blocked_ivf(xu, lambdas, centroids, assignments,
                       capacity_factor: float = 2.0,
-                      slab_dtype=None, certify: bool = True) -> BlockedIVF:
+                      slab_dtype=None, certify: bool = True,
+                      min_cap: int | None = None) -> BlockedIVF:
     """Reorder the corpus cluster-contiguously with per-cluster padding.
 
     Items beyond a cluster's capacity are appended into other clusters'
     free slots, so the slab layout is a PARTITION of the corpus — every
     item present exactly once, none unreachable (spilled items are simply
-    routed with their adopted cluster)."""
+    routed with their adopted cluster).  Spill inflates the adopting
+    slab's covering radius (in a high-dim mixture there is no NEAR
+    cluster to adopt into), degrading certification rates — size-cap the
+    clustering first (reduction.pipeline.lloyd_tighten max_size =
+    planned_slab_cap) and pass that cap as min_cap so a spill-free
+    layout stays spill-free if K grew."""
     n = xu.shape[0]
     k = centroids.shape[0]
     assign = np.asarray(assignments)
     cap = max(8, int(np.ceil(capacity_factor * n / k)))
+    if min_cap is not None:
+        cap = max(cap, int(min_cap))
     cap = ((cap + 127) // 128) * 128  # Mosaic block tiling: lane dim % 128
     order = np.argsort(assign, kind="stable")
     sorted_assign = assign[order]
@@ -316,7 +324,19 @@ def _route_scan_core(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
                             constant_values=-jnp.inf)
         block_bound = jnp.max(
             bound_pad.reshape(q_pad // qb, qb, -1), axis=1)
-        _, probe_tbl = jax.lax.top_k(block_bound, n_probe)
+        # Saturated-tie break: clusters whose covering radius exceeds the
+        # query distance all bound at exactly tau + (1-tau)·lam_term, so
+        # top_k would pick them by INDEX — crowding the query's own
+        # cluster out of the probe list (observed at 1M x 768 with a
+        # residual of fat clusters: kth collapsed to ~0.43).  A small
+        # centroid-similarity term orders ties by actual relevance
+        # without reordering materially different bounds.
+        sims_pad_b = jnp.pad(sims_sorted, ((0, q_pad - q), (0, 0)),
+                             constant_values=-1.0)
+        block_sims = jnp.max(
+            sims_pad_b.reshape(q_pad // qb, qb, -1), axis=1)
+        _, probe_tbl = jax.lax.top_k(block_bound + 1e-4 * block_sims,
+                                     n_probe)
         probe_tbl = probe_tbl.astype(jnp.int32)
     else:
         sims_pad = jnp.pad(sims_sorted, ((0, q_pad - q), (0, 0)),
@@ -356,15 +376,26 @@ def _route_scan_core(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "qb", "q", "cap",
-                                             "n_probe", "interpret"))
+                                             "n_probe", "interpret",
+                                             "use_bound"))
 def _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
-                     lamq32, tau, *, k, qb, q, cap, n_probe, interpret):
+                     lamq32, tau, radii, lam_lo, lam_hi, nonempty, *, k,
+                     qb, q, cap, n_probe, interpret, use_bound):
     """Routing + scan as ONE compiled program: eager per-op dispatch costs a
     host round trip each on tunneled runtimes, which dominated small-batch
-    latency before fusion."""
+    latency before fusion.
+
+    use_bound=True routes by the blended-score upper bound (radius +
+    lambda-interval state) instead of cosine demand votes: the blend's
+    lambda-proximity term pulls relevant items from clusters a pure-cosine
+    router never probes (measured on a 40-component mixture: 0.84 -> 1.00
+    top-10 overlap at equal n_probe)."""
+    bound_state = ((radii, lam_lo, lam_hi, nonempty) if use_bound
+                   else None)
     i, s, inv, _, _, _, _ = _route_scan_core(
         centroids_unit, slabs, slab_lambdas, slab_ids, qn32, lamq32, tau,
-        k=k, qb=qb, q=q, cap=cap, n_probe=n_probe, interpret=interpret)
+        k=k, qb=qb, q=q, cap=cap, n_probe=n_probe, interpret=interpret,
+        bound_state=bound_state)
     # Unsort back to the caller's query order.
     return i[:q][inv[:q]], s[:q][inv[:q]]
 
@@ -463,17 +494,22 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
         return _blocked_ivf_cert_jit(
             *args, ivf.radii, ivf.lam_lo, ivf.lam_hi, ivf.nonempty,
             jnp.float32(margin), **kw)
-    return _blocked_ivf_jit(*args, **kw)
+    use_bound = ivf.radii is not None
+    zero_k = jnp.zeros((n_clusters,), dtype=jnp.float32)
+    bound_args = ((ivf.radii, ivf.lam_lo, ivf.lam_hi, ivf.nonempty)
+                  if use_bound
+                  else (zero_k, zero_k, zero_k, zero_k.astype(bool)))
+    return _blocked_ivf_jit(*args, *bound_args, use_bound=use_bound, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "qb", "q", "cap", "n_probe", "interpret", "rayleigh_normalized",
-    "tau_mix", "certify"))
+    "tau_mix", "certify", "use_bound"))
 def _blocked_ivf_serve_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
                            q_raw, lap_f, w_f, tau_star, tau, radii, lam_lo,
                            lam_hi, nonempty, margin, *, k, qb, q,
                            cap, n_probe, interpret, rayleigh_normalized,
-                           tau_mix, certify):
+                           tau_mix, certify, use_bound=False):
     from ...ops.distance import unit_normalize
     from ...ops.rayleigh import dispersion_batch, rayleigh_batch
     from ...spectral.taumode import synthesize
@@ -490,8 +526,10 @@ def _blocked_ivf_serve_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
             radii, lam_lo, lam_hi, nonempty, margin, k=k, qb=qb, q=q,
             cap=cap, n_probe=n_probe, interpret=interpret)
     return _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
-                            qn, lam_q, tau, k=k, qb=qb, q=q, cap=cap,
-                            n_probe=n_probe, interpret=interpret)
+                            qn, lam_q, tau, radii, lam_lo, lam_hi,
+                            nonempty, k=k, qb=qb, q=q, cap=cap,
+                            n_probe=n_probe, interpret=interpret,
+                            use_bound=use_bound)
 
 
 def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
@@ -527,6 +565,7 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
             "scores can mis-rank probed clusters, which the "
             "unprobed-cluster bounds cannot detect")
     zero_k = jnp.zeros((n_clusters,), dtype=jnp.float32)
+    have_bound = ivf.radii is not None
     return _blocked_ivf_serve_jit(
         ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
         jnp.asarray(queries, dtype=jnp.float32),
@@ -534,15 +573,15 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
         jnp.asarray(w_f, dtype=jnp.float32),
         jnp.asarray(tau_star, dtype=jnp.float32),
         jnp.asarray(tau, dtype=jnp.float32),
-        ivf.radii if certify else zero_k,
-        ivf.lam_lo if certify else zero_k,
-        ivf.lam_hi if certify else zero_k,
-        ivf.nonempty if certify else zero_k.astype(bool),
+        ivf.radii if have_bound else zero_k,
+        ivf.lam_lo if have_bound else zero_k,
+        ivf.lam_hi if have_bound else zero_k,
+        ivf.nonempty if have_bound else zero_k.astype(bool),
         jnp.float32(margin), k=k, qb=qb, q=q, cap=ivf.cap,
         n_probe=n_probe, interpret=interpret,
         rayleigh_normalized=rayleigh_normalized,
         tau_mix=TAU_MIX if tau_mix is None else float(tau_mix),
-        certify=certify)
+        certify=certify, use_bound=have_bound)
 
 
 def widen_refusals(idx, vals, cert, run_certified, topk: int,

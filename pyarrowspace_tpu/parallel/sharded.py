@@ -501,7 +501,12 @@ def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
         qn = unit_normalize(qb_.astype(jnp.float32), axis=-1)
         k_local = cu.shape[0]
         tt32 = tt.astype(jnp.float32)
-        bound_state = ((rad, llo, lhi, nem) if certify else None)
+        # Bound-ordered routing whenever the cert state exists (it always
+        # does here — _ensure_ivf_block_state builds certify=True): the
+        # blended-score bound routes the lambda term too, which cosine
+        # demand votes cannot (single-chip rationale at
+        # ops/pallas/ivf_scan._blocked_ivf_jit).
+        bound_state = (rad, llo, lhi, nem)
         i_s, s_s, inv, sims_sorted, lamq_sorted, probe_tbl, bound = \
             _route_scan_core(cu, slabs, lam_s, ids_s, qn, lq, tt32,
                              k=topk, qb=qb, q=n_q, cap=cap,

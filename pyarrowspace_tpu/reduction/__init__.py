@@ -1,3 +1,5 @@
-from .pipeline import ReductionResult, reduce_corpus, twonn_intrinsic_dim
+from .pipeline import (ReductionResult, lloyd_reseed, reduce_corpus,
+                       twonn_intrinsic_dim)
 
-__all__ = ["ReductionResult", "reduce_corpus", "twonn_intrinsic_dim"]
+__all__ = ["ReductionResult", "lloyd_reseed", "reduce_corpus",
+           "twonn_intrinsic_dim"]
