@@ -164,14 +164,20 @@ def main():
         # covering radii) and leaves oversized clusters that SPILL in the
         # slab build — both saturate the certification bound (0% certified
         # at 1M x 768) and cost recall at low n_probe.
-        cap_plan = planned_slab_cap(n, k_cl)
+        # capacity_factor 1.5 (not the library's 2.0): tightening grows K
+        # past the request, and cf=2 slabs (6.9 GB at 1M x 768, K~4.3k)
+        # beside the resident 3 GB corpus OOM a 16 GB chip; cap 384 also
+        # scans fewer padded slots per probe.
+        cf = float(os.environ.get("SERV_IVF_CF", 1.5))
+        cap_plan = planned_slab_cap(n, k_cl, cf)
         cents, assigns = lloyd_reseed(xu, xu[sel], 12, seed=0)
         cents, assigns = lloyd_tighten(xu, cents, max_size=cap_plan)
         print(f"clusters: {k_cl} requested -> {cents.shape[0]} after "
-              "radius/size tightening", flush=True)
-        run_ivf_block2(ie, k_ov, cents, assigns, min_cap=cap_plan)
+              "radius/size tightening (cap {cap_plan})".replace(
+                  "{cap_plan}", str(cap_plan)), flush=True)
+        run_ivf_block2(ie, k_ov, cents, assigns, min_cap=cap_plan, cf=cf)
 
-    def run_ivf_block2(ie, k_ov, cents, assigns, min_cap=None):
+    def run_ivf_block2(ie, k_ov, cents, assigns, min_cap=None, cf=2.0):
         from pyarrowspace_tpu.ops.pallas.ivf_scan import (
             blocked_ivf_search_fused, build_blocked_ivf)
         k_cl = int(cents.shape[0])
@@ -179,7 +185,7 @@ def main():
         slab_dtype = (jnp.bfloat16 if os.environ.get("SERV_IVF_DTYPE")
                       == "bf16" else None)
         ivf_b = build_blocked_ivf(xu, lam32, np.asarray(cents),
-                                  np.asarray(assigns),
+                                  np.asarray(assigns), capacity_factor=cf,
                                   slab_dtype=slab_dtype, min_cap=min_cap)
         ivf_b.slabs.block_until_ready()
         # ONE dispatch per batch: query-lambda synthesis fused with the

@@ -115,12 +115,18 @@ def test_energy_fixed_313k_anchor():
 
 def test_cert_rates_artifact():
     """Certification rates (hardware-independent f32 math): monotone in
-    n_probe, full coverage at n_probe=K/2 across the recorded regimes."""
+    n_probe, full coverage at n_probe=K/2 across the recorded regimes.
+    'hardq' regimes (heavier query perturbation) pin the TRANSITION shape
+    — high-but-not-saturated coverage — the widening loop relies on."""
     d = json.loads(_latest("cert_rates", "cert_rates.json").read_text())
     assert d["config"]["routing"] == "bound-ordered"
     for name, rates in d["regimes"].items():
         vals = [rates[k] for k in sorted(rates, key=int)]
         assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:])), (name,
                                                                     vals)
-        assert vals[-1] >= 0.99, (name, vals)         # n_probe=64 of 128
-        assert vals[2] >= 0.5, (name, vals)           # n_probe=32 useful
+        if "hardq" in name:
+            assert vals[-1] >= 0.9, (name, vals)      # n_probe=64 of 128
+            assert 0.2 <= vals[0] <= 0.95, (name, vals)   # transition
+        else:
+            assert vals[-1] >= 0.99, (name, vals)
+            assert vals[2] >= 0.5, (name, vals)       # n_probe=32 useful
