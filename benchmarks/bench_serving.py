@@ -173,8 +173,7 @@ def main():
         cents, assigns = lloyd_reseed(xu, xu[sel], 12, seed=0)
         cents, assigns = lloyd_tighten(xu, cents, max_size=cap_plan)
         print(f"clusters: {k_cl} requested -> {cents.shape[0]} after "
-              "radius/size tightening (cap {cap_plan})".replace(
-                  "{cap_plan}", str(cap_plan)), flush=True)
+              f"radius/size tightening (cap {cap_plan})", flush=True)
         run_ivf_block2(ie, k_ov, cents, assigns, min_cap=cap_plan, cf=cf)
 
     def run_ivf_block2(ie, k_ov, cents, assigns, min_cap=None, cf=2.0):
@@ -182,6 +181,8 @@ def main():
             blocked_ivf_search_fused, build_blocked_ivf)
         k_cl = int(cents.shape[0])
         n_probe = int(os.environ.get("SERV_NPROBE", 16))
+        qb_env = os.environ.get("SERV_QBLOCK")
+        q_blk = int(qb_env) if qb_env else None
         slab_dtype = (jnp.bfloat16 if os.environ.get("SERV_IVF_DTYPE")
                       == "bf16" else None)
         ivf_b = build_blocked_ivf(xu, lam32, np.asarray(cents),
@@ -192,12 +193,13 @@ def main():
         # routing + scan (same convention as the other served modes).
         warm_b = blocked_ivf_search_fused(ivf_b, query_batches[-1], lap_f,
                                           w_f, ts, tau, topk,
-                                          n_probe=n_probe, tau_mix=TAU_MIX)
+                                          n_probe=n_probe, tau_mix=TAU_MIX,
+                                          q_block=q_blk)
         _ = np.asarray(warm_b[0])
         t0 = time.perf_counter()
         outs_b = [blocked_ivf_search_fused(ivf_b, qb, lap_f, w_f, ts, tau,
                                            topk, n_probe=n_probe,
-                                           tau_mix=TAU_MIX)
+                                           tau_mix=TAU_MIX, q_block=q_blk)
                   for qb in query_batches]
         _ = [int(np.asarray(o[0])[0, 0]) for o in outs_b]
         dt = time.perf_counter() - t0
@@ -237,32 +239,67 @@ def main():
             buckets = sorted({max(256, q_batch // 64), q_batch // 16,
                               q_batch // 4, q_batch})
 
+            from pyarrowspace_tpu.ops.pallas.ivf_scan import (
+                escalate_uncertified, widen_refusals)
+            n_clusters = int(ivf_b.slab_lambdas.shape[0] // ivf_b.cap)
+            n_probe_max = min(n_clusters, n // max(1, 2 * ivf_b.cap),
+                              n_probe << 2)
+
             def serve_certified(qb_):
+                # Same escalation semantics as search_batch
+                # (mode="certified"): widen refusals at IVF cost (n_probe
+                # doublings via the shared widen_refusals helper) BEFORE
+                # paying a full-corpus exact scan — at 99%+ base
+                # certification the exact stage almost never fires, and
+                # even a 33-query exact escalation streams the whole 3 GB
+                # corpus (~150 ms/batch measured, 308k -> 66k QPS).
                 out = blocked_ivf_search_fused(
                     ivf_b, qb_, lap_f, w_f, ts, tau, topk,
-                    n_probe=n_probe, tau_mix=TAU_MIX, certify=True)
-                idx_c = np.array(out[0])   # writable copies
-                vals_c = np.array(out[1])
-                cert = np.asarray(out[2])
-                bad = np.flatnonzero(~cert)
-                if bad.size:
-                    n_pad = next(b for b in buckets if b >= bad.size)
+                    n_probe=n_probe, tau_mix=TAU_MIX, certify=True,
+                    q_block=q_blk)
+                cert0 = float(np.asarray(out[2]).mean())
+
+                def run_cert(sel, np2):
+                    o2 = blocked_ivf_search_fused(
+                        ivf_b, qb_[jnp.asarray(sel)], lap_f, w_f, ts,
+                        tau, topk, n_probe=np2, tau_mix=TAU_MIX,
+                        certify=True, q_block=q_blk)
+                    return (np.asarray(o2[0]), np.asarray(o2[1]),
+                            np.asarray(o2[2]))
+
+                idx_c, vals_c, cert = widen_refusals(
+                    out[0], out[1], np.asarray(out[2]), run_cert, topk,
+                    n_probe, n_probe_max)
+
+                def run_exact(sel):
+                    n_pad = next(b for b in buckets if b >= sel.size)
                     sel_b = np.concatenate(
-                        [bad, np.full(n_pad - bad.size, bad[0])])
+                        [sel, np.full(n_pad - sel.size, sel[0])])
                     eo = fused_query_pipeline(
                         xu, lam32, lap_f, w_f, ts,
                         qb_[jnp.asarray(sel_b)], tau, topk=topk,
                         rayleigh_normalized=False, tau_mix=TAU_MIX,
                         backend=backend)
-                    idx_c[bad] = np.asarray(eo[0])[: bad.size]
-                    vals_c[bad] = np.asarray(eo[1])[: bad.size]
-                return idx_c, vals_c, float(cert.mean())
+                    return (np.asarray(eo[0])[: sel.size],
+                            np.asarray(eo[1])[: sel.size])
+
+                idx_c, vals_c = escalate_uncertified(
+                    idx_c, vals_c, cert, run_exact, topk)
+                return idx_c, vals_c, cert0
 
             for b in buckets:   # warm every escalation program
                 _ = np.asarray(fused_query_pipeline(
                     xu, lam32, lap_f, w_f, ts, qsets[-1][:b], tau,
                     topk=topk, rayleigh_normalized=False,
                     tau_mix=TAU_MIX, backend=backend)[0])
+            # Warm the widened certify programs (pow2 refusal pads at the
+            # first n_probe doubling — later doublings rarely fire).
+            if n_probe * 2 <= n_probe_max:
+                for pad in (16, 64, 256):
+                    _ = np.asarray(blocked_ivf_search_fused(
+                        ivf_b, qsets[-1][:pad], lap_f, w_f, ts, tau,
+                        topk, n_probe=n_probe * 2, tau_mix=TAU_MIX,
+                        certify=True, q_block=q_blk)[0])
             _ = serve_certified(qsets[-1])  # warm the certify program
             t0 = time.perf_counter()
             rates = [serve_certified(qb_)[2] for qb_ in qsets]

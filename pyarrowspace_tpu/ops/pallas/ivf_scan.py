@@ -458,7 +458,7 @@ def q_block_for(q: int, q_block: int = 16) -> int:
 
 
 def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
-                       n_probe: int = 16, q_block: int = 16,
+                       n_probe: int = 16, q_block: int | None = None,
                        interpret: bool | None = None,
                        certify: bool = False, margin: float = 0.0):
     """Blocked IVF top-k: (idx [Q, topk] int32, scores [Q, topk] f32),
@@ -474,7 +474,12 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
     q, _f = qn.shape
     n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
     n_probe = max(1, min(n_probe, n_clusters))
-    qb = q_block_for(q, 8 if (certify and q_block == 16) else q_block)
+    # q_block=None: certified serving defaults to narrower blocks (the
+    # certificate is per-query but probes are block-shared); an explicit
+    # q_block always wins — with tight (lloyd_tighten) clusters qb=16
+    # certifies equally and halves the probe-DMA grid.
+    qb = q_block_for(q, (8 if certify else 16) if q_block is None
+                     else q_block)
     k = max(1, min(topk, ivf.cap * n_probe))
     args = (ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
             jnp.asarray(qn, dtype=jnp.float32),
@@ -534,7 +539,7 @@ def _blocked_ivf_serve_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
 
 def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
                              tau_star, tau, topk: int, n_probe: int = 16,
-                             q_block: int = 16,
+                             q_block: int | None = None,
                              rayleigh_normalized: bool = False,
                              tau_mix: float | None = None,
                              interpret: bool | None = None,
@@ -554,7 +559,12 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
     # is per-query but probes are block-shared, so a narrower block's
     # bound-ordered probe list covers each member's violators better
     # (measured 0.49 -> 0.90 certification at equal n_probe).
-    qb = q_block_for(q, 8 if (certify and q_block == 16) else q_block)
+    # q_block=None: certified serving defaults to narrower blocks (the
+    # certificate is per-query but probes are block-shared); an explicit
+    # q_block always wins — with tight (lloyd_tighten) clusters qb=16
+    # certifies equally and halves the probe-DMA grid.
+    qb = q_block_for(q, (8 if certify else 16) if q_block is None
+                     else q_block)
     k = max(1, min(topk, ivf.cap * n_probe))
     if certify and ivf.radii is None:
         raise ValueError("certify=True needs an index built with "
