@@ -130,3 +130,26 @@ def test_cert_rates_artifact():
         else:
             assert vals[-1] >= 0.99, (name, vals)
             assert vals[2] >= 0.5, (name, vals)       # n_probe=32 useful
+
+
+def test_serving_1m_artifact():
+    """The measured 1M x 768 TPU serving run (README performance table):
+    blocked IVF must be near-exact at n_probe=8 on the in-distribution
+    mixture (overlap >= 0.99) and certified serving must certify >= 90%
+    of queries at the base pass while still clearing the exact-scan QPS
+    band.  Absolute QPS is tunnel-weather dependent; only order
+    relations and rates are pinned."""
+    d = json.loads(_latest("serving_1m", "serving_results.json")
+                   .read_text())
+    assert d["config"]["n"] == 1_000_000 and d["config"]["f"] == 768
+    assert d["config"]["backend"] == "tpu"
+    ivf = next(v for k, v in d["modes"].items()
+               if k.startswith("ivf_block_f32"))
+    cert = next(v for k, v in d["modes"].items()
+                if k.startswith("certified"))
+    assert ivf["top10_overlap_vs_exact"] >= 0.99, ivf
+    assert cert["certified_rate"] >= 0.9, cert
+    # certified serves EXACT results; it must beat the measured exact
+    # full-scan band (39-41k) and cost more than the uncertified scan.
+    assert cert["qps"] >= 45_000, cert
+    assert ivf["qps"] > cert["qps"], (ivf, cert)
