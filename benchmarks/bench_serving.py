@@ -220,9 +220,15 @@ def main():
         # (perturbed corpus rows — the realistic serving case), certified
         # IVF + escalation of refusals to the exact scan.  End-to-end
         # walltime includes the certificate sync and the escalation.
-        # Requires f32 slabs (certification is unsound on bf16 scores).
-        if (os.environ.get("SERV_CERTIFIED", "0") == "1"
-                and slab_dtype is None):
+        # bf16 slabs route through the precision-robust rescored
+        # certificate (pooled scan + f32 rescore; needs the f32 corpus).
+        cert_kw = ({} if slab_dtype is None
+                   else dict(rescore_corpus=xu, rescore_lambdas=lam32))
+        mp_base = (int(os.environ.get("SERV_MPOOL", 4 * topk))
+                   if slab_dtype is not None else None)
+        if mp_base is not None:
+            cert_kw["m_pool"] = mp_base
+        if os.environ.get("SERV_CERTIFIED", "0") == "1":
             kq = jax.random.PRNGKey(7)
             qsets = []
             for r in range(reps):
@@ -256,14 +262,19 @@ def main():
                 out = blocked_ivf_search_fused(
                     ivf_b, qb_, lap_f, w_f, ts, tau, topk,
                     n_probe=n_probe, tau_mix=TAU_MIX, certify=True,
-                    q_block=q_blk)
+                    q_block=q_blk, **cert_kw)
                 cert0 = float(np.asarray(out[2]).mean())
 
                 def run_cert(sel, np2):
+                    # Widening scales the rescore pool with the probe
+                    # list (library semantics, core/space.py certified).
+                    kw2 = dict(cert_kw)
+                    if mp_base is not None:
+                        kw2["m_pool"] = mp_base * max(1, np2 // n_probe)
                     o2 = blocked_ivf_search_fused(
                         ivf_b, qb_[jnp.asarray(sel)], lap_f, w_f, ts,
                         tau, topk, n_probe=np2, tau_mix=TAU_MIX,
-                        certify=True, q_block=q_blk)
+                        certify=True, q_block=q_blk, **kw2)
                     return (np.asarray(o2[0]), np.asarray(o2[1]),
                             np.asarray(o2[2]))
 
@@ -295,21 +306,26 @@ def main():
             # Warm the widened certify programs (pow2 refusal pads at the
             # first n_probe doubling — later doublings rarely fire).
             if n_probe * 2 <= n_probe_max:
+                kw_w = dict(cert_kw)
+                if mp_base is not None:
+                    kw_w["m_pool"] = mp_base * 2
                 for pad in (16, 64, 256):
                     _ = np.asarray(blocked_ivf_search_fused(
                         ivf_b, qsets[-1][:pad], lap_f, w_f, ts, tau,
                         topk, n_probe=n_probe * 2, tau_mix=TAU_MIX,
-                        certify=True, q_block=q_blk)[0])
+                        certify=True, q_block=q_blk, **kw_w)[0])
             _ = serve_certified(qsets[-1])  # warm the certify program
             t0 = time.perf_counter()
             rates = [serve_certified(qb_)[2] for qb_ in qsets]
             dt = time.perf_counter() - t0
             rate = float(np.mean(rates))
-            print(f"certified-exact (np={n_probe}): "
+            print(f"certified-exact[{dt_name}] (np={n_probe}): "
                   f"{q_batch * reps / dt:,.0f} QPS "
                   f"({dt / reps * 1000:.1f} ms/batch, "
                   f"certified {rate:.1%})")
-            results["modes"][f"certified_np{n_probe}"] = {
+            cert_key = (f"certified_np{n_probe}" if slab_dtype is None
+                        else f"certified_{dt_name}_np{n_probe}")
+            results["modes"][cert_key] = {
                 "qps": round(q_batch * reps / dt, 1),
                 "certified_rate": round(rate, 4), "n_probe": n_probe}
     if only_ivf:

@@ -262,13 +262,38 @@ class ArrowSpace:
                 jnp.concatenate([o[1] for o in outs], axis=0))
 
     # -- TPU-native extras ----------------------------------------------------
+    def _resolve_slab_dtype(self):
+        """Blocked-slab scan dtype: explicit enable_ivf choice wins, then
+        the ARROWSPACE_IVF_SLABS env (bf16|f16|f32), else f32 (None)."""
+        import os
+
+        choice = getattr(self, "_ivf_slab_choice", None)
+        if choice is not None:
+            return None if choice == jnp.dtype(jnp.float32) else choice
+        env = os.environ.get("ARROWSPACE_IVF_SLABS", "").strip().lower()
+        return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                "f16": jnp.float16, "float16": jnp.float16}.get(env)
+
     def enable_ivf(self, n_clusters: Optional[int] = None,
-                   capacity_factor: float = 3.0):
+                   capacity_factor: float = 3.0, slab_dtype=None):
         """Build the IVF routing index for `search_batch(mode="ivf")`.
 
         Reuses the reduction stage's centroids/assignments when the build
-        computed them; otherwise clusters now (seeded)."""
+        computed them; otherwise clusters now (seeded).
+
+        slab_dtype sets the blocked-slab scan precision for
+        mode="ivf_block"/"certified" (default f32; jnp.bfloat16 halves
+        the probe DMA bytes — approximate for ivf_block, still EXACT for
+        certified serving via the precision-robust rescored certificate).
+        Env override ARROWSPACE_IVF_SLABS=bf16|f16|f32 applies when no
+        explicit choice was made here."""
         from ..ops.ivf import build_ivf
+
+        if slab_dtype is not None:
+            if jnp.dtype(slab_dtype) != getattr(
+                    self, "_ivf_slab_choice", None):
+                self._ivf_blocked = None
+            self._ivf_slab_choice = jnp.dtype(slab_dtype)
 
         if self._centroids is None or n_clusters is not None:
             from ..reduction import reduce_corpus
@@ -344,7 +369,7 @@ class ArrowSpace:
     def search_batch(self, queries, gl: GraphLaplacian, tau: float,
                      topk: Optional[int] = None, mode: str = "exact",
                      n_probe: int = 8, certify: bool = False,
-                     n_widen: int = 2):
+                     n_widen: int = 2, m_pool: Optional[int] = None):
         """Batched lambda-aware search: queries [Q, F] ->
         (indices [Q, topk] np.int32, scores [Q, topk] np.float32/64).
         The high-QPS serving path (BASELINE.json north-star).
@@ -397,9 +422,15 @@ class ArrowSpace:
             queries_np = np.asarray(queries)
             topk_eff = min(gl.params.topk if topk is None else int(topk),
                            self.nitems)
+            # Reduced-precision slabs: widening rounds double the rescore
+            # POOL together with the probe list — pool-condition refusals
+            # (kth too close to the scan pool boundary) are fixed by a
+            # wider pool, not by more probes.
+            base_m = (m_pool if m_pool is not None
+                      else max(4 * topk_eff, topk_eff + 6))
             idx, vals, cert = self.search_batch(
                 queries_np, gl, tau, topk=topk_eff, mode="ivf_block",
-                n_probe=n_probe, certify=True)
+                n_probe=n_probe, certify=True, m_pool=base_m)
             # Refusals first WIDEN (bound-ordered deepening: re-probe at
             # doubled n_probe, still certified) while a probe round stays
             # well under the exact scan's cost; only the queries no
@@ -415,7 +446,8 @@ class ArrowSpace:
                 idx, vals, cert,
                 lambda sel, np2: self.search_batch(
                     queries_np[sel], gl, tau, topk=topk_eff,
-                    mode="ivf_block", n_probe=np2, certify=True),
+                    mode="ivf_block", n_probe=np2, certify=True,
+                    m_pool=base_m * max(1, np2 // n_probe)),
                 topk_eff, n_probe, n_probe_max)
             return escalate_uncertified(
                 idx, vals, cert,
@@ -476,7 +508,16 @@ class ArrowSpace:
                     self._ivf_blocked = build_blocked_ivf(
                         self._data_unit, self._lambdas, self._centroids,
                         self._assignments,
-                        min_cap=getattr(self, "_ivf_cap_plan", None))
+                        min_cap=getattr(self, "_ivf_cap_plan", None),
+                        slab_dtype=self._resolve_slab_dtype())
+                # Reduced-precision slabs + certify: the rescored
+                # certificate needs the f32 corpus (original-id order).
+                kw = {}
+                if (certify and self._ivf_blocked.slabs.dtype
+                        != jnp.float32):
+                    kw = dict(
+                        rescore_corpus=self._data_unit.astype(jnp.float32),
+                        rescore_lambdas=self._lambdas.astype(jnp.float32))
                 # One compiled program (synthesis + routing + scan): eager
                 # per-op dispatch costs a host round trip each on tunneled
                 # runtimes.
@@ -484,7 +525,8 @@ class ArrowSpace:
                     self._ivf_blocked, q, self._lap_f, self._w_f,
                     self._tau_star, float(tau), topk, n_probe=n_probe,
                     rayleigh_normalized=self._rayleigh_normalized,
-                    tau_mix=self._tau_mix, certify=certify)
+                    tau_mix=self._tau_mix, certify=certify,
+                    m_pool=m_pool, **kw)
                 if certify:
                     return (np.asarray(out[0]), np.asarray(out[1]),
                             np.asarray(out[2]))

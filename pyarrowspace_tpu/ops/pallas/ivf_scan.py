@@ -49,6 +49,11 @@ class BlockedIVF(NamedTuple):
     lam_lo: jnp.ndarray | None = None      # [K]
     lam_hi: jnp.ndarray | None = None      # [K]
     nonempty: jnp.ndarray | None = None    # [K] bool
+    # Reduced-precision certification state: per-slab max cast-residual
+    # norm max_x ||x - cast(x)|| (None for f32 slabs / certify=False).
+    # The data-dependent dot-error bound it feeds is ~2-3x tighter than
+    # the worst-case u*||x|| — certification rates live in that factor.
+    res_eps: jnp.ndarray | None = None     # [K]
 
 
 def build_blocked_ivf(xu, lambdas, centroids, assignments,
@@ -140,18 +145,23 @@ def build_blocked_ivf(xu, lambdas, centroids, assignments,
                     jnp.inf)
     cu = jnp.asarray(centroids, dtype=jnp.float32)
     cu = cu / jnp.maximum(jnp.linalg.norm(cu, axis=1, keepdims=True), 1e-30)
-    radii = lam_lo = lam_hi = nonempty = None
+    radii = lam_lo = lam_hi = nonempty = res_eps = None
     if certify:
         radii, lam_lo, lam_hi, nonempty = _cert_state(
             slabs, lam, valid_dev, cu, k, cap)
-    if slab_dtype is not None:
+    if slab_dtype is not None and jnp.dtype(slab_dtype) != jnp.float32:
         # bf16 slabs halve the probe DMA bytes (the scan is bandwidth-
-        # bound); scores then carry bf16 rounding — fine for an
-        # approximate mode, opt-in only.
-        slabs = slabs.astype(slab_dtype)
+        # bound); approximate for mode="ivf_block", still EXACT for
+        # certified serving via the rescored precision-robust
+        # certificate — which needs the per-slab cast-residual norms.
+        cast = slabs.astype(slab_dtype)
+        if certify:
+            res_eps = _res_state(slabs, cast, valid_dev, k, cap)
+        slabs = cast
     ids = jnp.asarray(np.where(valid, slot, -1).astype(np.int32))
     return BlockedIVF(cu, slabs, lam, ids, cap, radii=radii,
-                      lam_lo=lam_lo, lam_hi=lam_hi, nonempty=nonempty)
+                      lam_lo=lam_lo, lam_hi=lam_hi, nonempty=nonempty,
+                      res_eps=res_eps)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "cap"))
@@ -183,6 +193,41 @@ def _cert_state(slabs, lam, valid, cu, k: int, cap: int):
     return radii, lam_lo, lam_hi, jnp.any(v2, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "cap"))
+def _res_state(slabs32, cast, valid, k: int, cap: int):
+    """Per-slab max cast-residual norm max_x ||x - cast(x)|| over real
+    rows — the data side of the reduced-precision dot-error bound
+    (_blocked_ivf_cert_rescored_jit).  Chunked over clusters to bound the
+    [chunk, cap, F] f32 temporaries (the residual of a 1M x 768 corpus is
+    another 3 GB if materialized whole)."""
+    f = slabs32.shape[1]
+    chunk = max(1, min(k, (2 ** 25) // max(1, cap * f)))
+    while k % chunk:
+        chunk -= 1
+    s3 = slabs32.reshape(k // chunk, chunk, cap, f)
+    c3 = cast.reshape(k // chunk, chunk, cap, f)
+    v3 = valid.reshape(k // chunk, chunk, cap)
+
+    def blk(args):
+        sb, cb, vb = args
+        r2 = jnp.sum(jnp.square(sb - cb.astype(jnp.float32)), axis=-1)
+        return jnp.sqrt(jnp.max(jnp.where(vb, r2, 0.0), axis=-1))
+
+    return jax.lax.map(blk, (s3, c3, v3)).reshape(k)
+
+
+def cast_residual_worst(slab_dtype) -> float:
+    """Worst-case ||x - cast(x)|| for a unit-norm row: per-element
+    round-to-nearest error <= u |x_i| gives norm <= u ||x|| = u."""
+    dt = jnp.dtype(slab_dtype)
+    if dt == jnp.dtype(jnp.float32):
+        return 0.0
+    u = {"bfloat16": 2.0 ** -8, "float16": 2.0 ** -11}.get(dt.name)
+    if u is None:
+        raise ValueError(f"no dot-error model for slab dtype {dt.name}")
+    return u
+
+
 def _ivf_kernel(probe_ref, tau_ref, qn_ref, lamq_ref, slab_ref, lam_ref,
                 id_ref, out_s_ref, out_i_ref, run_s, run_i, *, k: int,
                 cap: int):
@@ -194,10 +239,16 @@ def _ivf_kernel(probe_ref, tau_ref, qn_ref, lamq_ref, slab_ref, lam_ref,
         run_s[:] = jnp.full_like(run_s, _NEG_INF)
         run_i[:] = jnp.full_like(run_i, -1)
 
-    qn = qn_ref[:].astype(slab_ref.dtype)  # [QB, F] (match slab dtype)
+    # Queries stay f32 and reduced-precision slabs upcast IN KERNEL: the
+    # probe scan is DMA-bound (the bf16 win is the halved slab bytes, not
+    # the MXU rate), and an f32 x f32 dot removes the query-side rounding
+    # from the scan scores — the rescored certificate's error bound then
+    # carries only the per-slab cast residual, doubling its headroom.
+    qn = qn_ref[:].astype(jnp.float32)     # [QB, F]
     nq = qn.shape[0]
     tau = tau_ref[0]
-    cos = jax.lax.dot_general(qn, slab_ref[:], (((1,), (1,)), ((), ())),
+    cos = jax.lax.dot_general(qn, slab_ref[:].astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)  # [QB,cap]
     lam = lam_ref[0:1, :]                                          # [1,cap]
     prox = 1.0 / (1.0 + jnp.abs(lam - lamq_ref[:, 0:1]))
@@ -451,20 +502,148 @@ def cert_violations(bound, kth_sorted, probe_tbl, margin, *, qb: int,
         axis=1)
 
 
+def scan_dot_eps(slab_dtype, f: int) -> float:
+    """Sound absolute bound on |dot(cast(q), cast(x)) - dot_f32(q, x)| for
+    unit-norm rows q, x when both operands are rounded to `slab_dtype`
+    and accumulated in f32 (the scan kernel casts queries to the slab
+    dtype, so both sides carry the rounding).
+
+    Round-to-nearest gives per-element relative error u (bf16: 8 bits of
+    precision, u = 2^-8); the elementwise product error is
+    sum_i |q_i x_i| * ((1+u)^2 - 1) <= (2u + u^2) * ||q|| ||x||
+    (Cauchy-Schwarz), and f32 accumulation of f partials each bounded by
+    ~||q|| ||x|| adds < 2 f * 2^-24.  For unit rows ||q|| ||x|| = 1."""
+    dt = jnp.dtype(slab_dtype)
+    if dt == jnp.dtype(jnp.float32):
+        return 0.0
+    u = {"bfloat16": 2.0 ** -8, "float16": 2.0 ** -11}.get(dt.name)
+    if u is None:
+        raise ValueError(f"no dot-error model for slab dtype {dt.name}")
+    return (2.0 * u + u * u) * (1.0 + u) ** 2 + 2.0 * f * 2.0 ** -24
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m_pool", "qb", "q",
+                                             "cap", "n_probe", "interpret"))
+def _blocked_ivf_cert_rescored_jit(centroids_unit, slabs, slab_lambdas,
+                                   slab_ids, xu_f32, lambdas_f32, qn32,
+                                   lamq32, tau, radii, lam_lo, lam_hi,
+                                   nonempty, res_eps, margin, *, k, m_pool,
+                                   qb, q, cap, n_probe, interpret):
+    """Certified serving over REDUCED-PRECISION slabs (precision-robust
+    certificates).  bf16 slabs halve the probe DMA bytes that dominate
+    certified serving cost at 1M x 768, but reduced-precision scan scores
+    can mis-rank items WITHIN probed clusters — which the unprobed-cluster
+    bound cannot detect, so the f32 path simply forbids them.  This path
+    makes them sound instead:
+
+      1. scan the slabs at merge width m_pool >= topk (the pool);
+      2. rescore the pooled candidates against the f32 corpus rows
+         (f32-exact blended scores) and cut the served top-k there;
+      3. certify with TWO sound conditions against the rescored kth:
+         (A) unprobed clusters: the f32 centroid-radius + lambda-interval
+             upper bound (cert_violations) — unchanged from the f32 path;
+         (B) probed-but-unpooled items: the exact merge keeps the pool's
+             scan scores maximal, so any probed item outside the pool has
+             scan score <= pool_min and TRUE blended score <=
+             pool_min + tau * scan_dot_eps (the reduced-precision dot
+             error bound for unit rows); certified when that stays below
+             the rescored kth.
+
+    A certified query's served top-k therefore provably equals the exact
+    f32 blended-scan top-k, with f32-exact served scores."""
+    i, s, inv, _sims, lamq_sorted, probe_tbl, bound = _route_scan_core(
+        centroids_unit, slabs, slab_lambdas, slab_ids, qn32, lamq32, tau,
+        k=m_pool, qb=qb, q=q, cap=cap, n_probe=n_probe,
+        interpret=interpret,
+        bound_state=(radii, lam_lo, lam_hi, nonempty))
+    # Stay in sorted-query order (bound/probe_tbl are block-structured in
+    # it); order = inverse of the unsort permutation.
+    order = jnp.argsort(inv[:q], stable=True)
+    qn_sorted = qn32[order]
+    ids = i[:q]                                    # [q, m_pool] original ids
+    safe = jnp.maximum(ids, 0)
+    xc = xu_f32[safe]                              # [q, m_pool, F]
+    cos = jnp.einsum("qmf,qf->qm", xc, qn_sorted,
+                     preferred_element_type=jnp.float32)
+    prox = 1.0 / (1.0 + jnp.abs(lambdas_f32[safe]
+                                - lamq_sorted[:, None]))
+    s32 = tau * cos + (1.0 - tau) * prox
+    s32 = jnp.where(ids >= 0, s32, _NEG_INF)
+    vals, pos = jax.lax.top_k(s32, k)
+    idx_k = jnp.take_along_axis(ids, pos, axis=1)
+    kth = vals[:, k - 1]
+    viol_a = cert_violations(bound, kth, probe_tbl, margin, qb=qb, q=q)
+    # (B): pool_min is the m_pool-th scan score (-inf when the probed set
+    # had fewer than m_pool real items — then every probed item is pooled
+    # and the condition holds trivially).  The dot-error bound is DATA-
+    # DEPENDENT and slab-side only: the scan kernel keeps queries f32 and
+    # upcasts the slab block in VMEM, so the only rounding in a scan
+    # score is the stored slab row x~ = cast(x):
+    #   |dot(q, x) - dot(q, x~)| <= ||q|| * ||x - x~|| = r
+    # with r the precomputed per-slab max member residual (res_eps),
+    # maximized over the query block's probed slabs; f32 accumulation of
+    # f partials bounded by ~1 adds < 2 f 2^-24.  (The worst-case
+    # both-sides bound scan_dot_eps is ~7x above observed error and
+    # refuses everything at realistic score gaps.)  ||q|| = ||x|| = 1 to
+    # f32 rounding, absorbed by the same 1e-5 slack as cert_violations.
+    f_dim = slabs.shape[1]
+    r_blk = jnp.max(res_eps[probe_tbl], axis=1)                 # [n_blocks]
+    r_q = r_blk[jnp.arange(q) // qb]                            # [q]
+    eps = tau * (r_q + jnp.float32(2.0 * f_dim * 2.0 ** -24))
+    pool_min = s[:q, m_pool - 1]
+    viol_b = pool_min + eps > kth - margin - jnp.float32(1e-5)
+    cert_sorted = ~(viol_a | viol_b)
+    return idx_k[inv[:q]], vals[inv[:q]], cert_sorted[inv[:q]]
+
+
 def q_block_for(q: int, q_block: int = 16) -> int:
     """Routing-sweep default query-block clamp (shared with the sharded
     mode so the two paths cannot drift)."""
     return min(q_block, max(8, 1 << (q - 1).bit_length()))
 
 
+def _res_eps_vector(ivf: BlockedIVF) -> jnp.ndarray:
+    """Per-slab cast-residual norms for the rescored certificate; indexes
+    built before the res_eps state fall back to the sound worst-case
+    u * ||x|| = u per slab."""
+    if ivf.res_eps is not None:
+        return ivf.res_eps
+    n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
+    return jnp.full((n_clusters,), cast_residual_worst(ivf.slabs.dtype),
+                    dtype=jnp.float32)
+
+
+def cert_pool_width(m_pool: int | None, topk: int, served_max: int) -> int:
+    """Scan pool width for the rescored (reduced-precision) certificate.
+    Default 4*topk: condition (B) needs the pool_min scan score to sit
+    tau*eps below the rescored kth, and the kth-vs-pool_min gap grows
+    with the pool (measured on mixture geometry: p10 gap 0.0013 at
+    m=2k vs 0.0051 at m=6.4k for k=10) at ~linear rescore-gather cost.
+    Clamped to the served width cap * n_probe (a narrower served width
+    refuses via widening)."""
+    mp = max(4 * topk, topk + 6) if m_pool is None else int(m_pool)
+    if mp < topk:
+        raise ValueError(f"m_pool ({mp}) must be >= topk ({topk})")
+    return max(1, min(mp, served_max))
+
+
 def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
                        n_probe: int = 16, q_block: int | None = None,
                        interpret: bool | None = None,
-                       certify: bool = False, margin: float = 0.0):
+                       certify: bool = False, margin: float = 0.0,
+                       rescore_corpus=None, rescore_lambdas=None,
+                       m_pool: int | None = None):
     """Blocked IVF top-k: (idx [Q, topk] int32, scores [Q, topk] f32),
     plus a per-query exactness certificate [Q] bool when certify=True
     (see _blocked_ivf_cert_jit; requires an index built with
     certify=True).
+
+    Certification over reduced-precision slabs (bf16/f16) additionally
+    requires `rescore_corpus` ([N, F] f32 unit rows) and
+    `rescore_lambdas` ([N] f32), indexed by ORIGINAL item id: the scan
+    pools m_pool (default 2*topk) candidates, rescoring cuts the served
+    top-k in f32, and the certificate adds the precision-robust pool
+    condition (_blocked_ivf_cert_rescored_jit).
 
     Defaults from the routing sweep: q_block=16 queries share a probe list;
     with top-2 demand votes per member, n_probe=16 gives ~0.97 top-10
@@ -492,10 +671,21 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
             raise ValueError("certify=True needs an index built with "
                              "build_blocked_ivf(..., certify=True)")
         if ivf.slabs.dtype != jnp.float32:
-            raise ValueError(
-                "certify=True requires f32 slabs: reduced-precision slab "
-                "scores can mis-rank probed clusters, which the "
-                "unprobed-cluster bounds cannot detect")
+            if rescore_corpus is None or rescore_lambdas is None:
+                raise ValueError(
+                    "certify=True over reduced-precision slabs needs "
+                    "rescore_corpus/rescore_lambdas (f32, original-id "
+                    "order) for the precision-robust certificate; pass "
+                    "them or rebuild with f32 slabs")
+            cu, sl, slam, sid, qn32, lamq32, tau32 = args
+            mp = cert_pool_width(m_pool, topk, ivf.cap * n_probe)
+            return _blocked_ivf_cert_rescored_jit(
+                cu, sl, slam, sid,
+                jnp.asarray(rescore_corpus, dtype=jnp.float32),
+                jnp.asarray(rescore_lambdas, dtype=jnp.float32),
+                qn32, lamq32, tau32, ivf.radii, ivf.lam_lo, ivf.lam_hi,
+                ivf.nonempty, _res_eps_vector(ivf), jnp.float32(margin),
+                m_pool=mp, **kw)
         return _blocked_ivf_cert_jit(
             *args, ivf.radii, ivf.lam_lo, ivf.lam_hi, ivf.nonempty,
             jnp.float32(margin), **kw)
@@ -537,13 +727,45 @@ def _blocked_ivf_serve_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
                             use_bound=use_bound)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "k", "m_pool", "qb", "q", "cap", "n_probe", "interpret",
+    "rayleigh_normalized", "tau_mix"))
+def _blocked_ivf_serve_rescored_jit(centroids_unit, slabs, slab_lambdas,
+                                    slab_ids, xu_f32, lambdas_f32, q_raw,
+                                    lap_f, w_f, tau_star, tau, radii,
+                                    lam_lo, lam_hi, nonempty, res_eps,
+                                    margin, *, k, m_pool, qb, q, cap,
+                                    n_probe, interpret,
+                                    rayleigh_normalized, tau_mix):
+    """ONE-dispatch certified serving over reduced-precision slabs:
+    query-lambda synthesis + routing + pooled scan + f32 rescore +
+    precision-robust certificate (_blocked_ivf_cert_rescored_jit)."""
+    from ...ops.distance import unit_normalize
+    from ...ops.rayleigh import dispersion_batch, rayleigh_batch
+    from ...spectral.taumode import synthesize
+
+    e_un = rayleigh_batch(q_raw, lap_f, normalized=False)
+    e = (rayleigh_batch(q_raw, lap_f, normalized=True)
+         if rayleigh_normalized else e_un)
+    g = dispersion_batch(q_raw, w_f, e_un)
+    lam_q = synthesize(e, g, tau_star, tau_mix).astype(jnp.float32)
+    qn = unit_normalize(q_raw.astype(jnp.float32))
+    return _blocked_ivf_cert_rescored_jit(
+        centroids_unit, slabs, slab_lambdas, slab_ids, xu_f32,
+        lambdas_f32, qn, lam_q, tau, radii, lam_lo, lam_hi, nonempty,
+        res_eps, margin, k=k, m_pool=m_pool, qb=qb, q=q, cap=cap,
+        n_probe=n_probe, interpret=interpret)
+
+
 def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
                              tau_star, tau, topk: int, n_probe: int = 16,
                              q_block: int | None = None,
                              rayleigh_normalized: bool = False,
                              tau_mix: float | None = None,
                              interpret: bool | None = None,
-                             certify: bool = False, margin: float = 0.0):
+                             certify: bool = False, margin: float = 0.0,
+                             rescore_corpus=None, rescore_lambdas=None,
+                             m_pool: int | None = None):
     """ONE-dispatch blocked-IVF serving: query-lambda synthesis + routing
     + Pallas scan in a single compiled program (eager per-op dispatch
     costs a host round trip each on tunneled runtimes — same rationale as
@@ -570,10 +792,27 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
         raise ValueError("certify=True needs an index built with "
                          "build_blocked_ivf(..., certify=True)")
     if certify and ivf.slabs.dtype != jnp.float32:
-        raise ValueError(
-            "certify=True requires f32 slabs: reduced-precision slab "
-            "scores can mis-rank probed clusters, which the "
-            "unprobed-cluster bounds cannot detect")
+        if rescore_corpus is None or rescore_lambdas is None:
+            raise ValueError(
+                "certify=True over reduced-precision slabs needs "
+                "rescore_corpus/rescore_lambdas (f32, original-id order) "
+                "for the precision-robust certificate; pass them or "
+                "rebuild with f32 slabs")
+        mp = cert_pool_width(m_pool, topk, ivf.cap * n_probe)
+        return _blocked_ivf_serve_rescored_jit(
+            ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
+            jnp.asarray(rescore_corpus, dtype=jnp.float32),
+            jnp.asarray(rescore_lambdas, dtype=jnp.float32),
+            jnp.asarray(queries, dtype=jnp.float32),
+            jnp.asarray(lap_f, dtype=jnp.float32),
+            jnp.asarray(w_f, dtype=jnp.float32),
+            jnp.asarray(tau_star, dtype=jnp.float32),
+            jnp.asarray(tau, dtype=jnp.float32),
+            ivf.radii, ivf.lam_lo, ivf.lam_hi, ivf.nonempty,
+            _res_eps_vector(ivf), jnp.float32(margin), k=k, m_pool=mp,
+            qb=qb, q=q, cap=ivf.cap, n_probe=n_probe, interpret=interpret,
+            rayleigh_normalized=rayleigh_normalized,
+            tau_mix=TAU_MIX if tau_mix is None else float(tau_mix))
     zero_k = jnp.zeros((n_clusters,), dtype=jnp.float32)
     have_bound = ivf.radii is not None
     return _blocked_ivf_serve_jit(
