@@ -403,6 +403,12 @@ class ArrowSpace:
         widening rounds, still certified), and only queries no widening
         round certifies escalate to the exact f32 scan (escalation and
         widening batches pad to powers of two to bound recompiles).
+        Certification works over bf16 slabs too (enable_ivf(slab_dtype=
+        jnp.bfloat16) or ARROWSPACE_IVF_SLABS=bf16 — half the probe DMA
+        bytes): the scan pools `m_pool` candidates (default 4*topk), the
+        pool is rescored against the f32 corpus (served scores stay
+        f32-exact), and the certificate adds a precision-robust pool
+        condition; widening doubles the pool with the probe list.
 
         certify=True (ivf_block only) additionally returns a per-query
         bool [Q]: True means the served top-k PROVABLY equals the exact
