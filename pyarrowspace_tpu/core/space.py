@@ -264,15 +264,25 @@ class ArrowSpace:
     # -- TPU-native extras ----------------------------------------------------
     def _resolve_slab_dtype(self):
         """Blocked-slab scan dtype: explicit enable_ivf choice wins, then
-        the ARROWSPACE_IVF_SLABS env (bf16|f16|f32), else f32 (None)."""
+        the ARROWSPACE_IVF_SLABS env (bf16|f16|f32), else f32 (None).
+        Unknown env values raise (a silent f32 fallback would serve a
+        different precision than the deployment asked for)."""
         import os
 
         choice = getattr(self, "_ivf_slab_choice", None)
         if choice is not None:
             return None if choice == jnp.dtype(jnp.float32) else choice
         env = os.environ.get("ARROWSPACE_IVF_SLABS", "").strip().lower()
-        return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
-                "f16": jnp.float16, "float16": jnp.float16}.get(env)
+        if not env:
+            return None
+        known = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                 "f16": jnp.float16, "float16": jnp.float16,
+                 "f32": None, "float32": None}
+        if env not in known:
+            raise ValueError(
+                f"ARROWSPACE_IVF_SLABS={env!r} is not a known slab dtype; "
+                "expected one of bf16|bfloat16|f16|float16|f32|float32")
+        return known[env]
 
     def enable_ivf(self, n_clusters: Optional[int] = None,
                    capacity_factor: float = 3.0, slab_dtype=None):
@@ -508,6 +518,14 @@ class ArrowSpace:
             if mode == "ivf_block":
                 from ..ops.pallas.ivf_scan import (blocked_ivf_search_fused,
                                                    build_blocked_ivf)
+                want_dtype = jnp.dtype(self._resolve_slab_dtype()
+                                       or jnp.float32)
+                if (getattr(self, "_ivf_blocked", None) is not None
+                        and self._ivf_blocked.slabs.dtype != want_dtype):
+                    # The env/choice changed after the index was built: a
+                    # stale-dtype index would silently keep serving the
+                    # old precision.
+                    self._ivf_blocked = None
                 if getattr(self, "_ivf_blocked", None) is None:
                     # min_cap keeps the spill-free guarantee from the
                     # size-capped clustering even when tightening grew K.

@@ -504,9 +504,15 @@ def cert_violations(bound, kth_sorted, probe_tbl, margin, *, qb: int,
 
 def scan_dot_eps(slab_dtype, f: int) -> float:
     """Sound absolute bound on |dot(cast(q), cast(x)) - dot_f32(q, x)| for
-    unit-norm rows q, x when both operands are rounded to `slab_dtype`
-    and accumulated in f32 (the scan kernel casts queries to the slab
-    dtype, so both sides carry the rounding).
+    unit-norm rows q, x when BOTH operands are rounded to `slab_dtype`
+    and accumulated in f32.
+
+    This is the WORST-CASE both-sides error model, kept for tests and as
+    a fallback.  The production scan kernel (_ivf_kernel) keeps queries
+    f32 and upcasts slabs in VMEM, so its scores carry only the stored
+    slab rounding — the rescored certificate therefore uses the tighter
+    data-dependent per-slab residual bound (res_eps, see
+    _blocked_ivf_cert_rescored_jit), not this function.
 
     Round-to-nearest gives per-element relative error u (bf16: 8 bits of
     precision, u = 2^-8); the elementwise product error is
@@ -544,10 +550,13 @@ def _blocked_ivf_cert_rescored_jit(centroids_unit, slabs, slab_lambdas,
              upper bound (cert_violations) — unchanged from the f32 path;
          (B) probed-but-unpooled items: the exact merge keeps the pool's
              scan scores maximal, so any probed item outside the pool has
-             scan score <= pool_min and TRUE blended score <=
-             pool_min + tau * scan_dot_eps (the reduced-precision dot
-             error bound for unit rows); certified when that stays below
-             the rescored kth.
+             scan score <= pool_min and TRUE blended score <= pool_min +
+             tau * eps, where eps is the DATA-DEPENDENT slab-side dot
+             error bound (per-slab max cast-residual norm res_eps,
+             maximized over the block's probed slabs, + f32 accumulation
+             slack — the kernel keeps queries f32, so only the stored
+             slab rounding enters); certified when that stays below the
+             rescored kth.
 
     A certified query's served top-k therefore provably equals the exact
     f32 blended-scan top-k, with f32-exact served scores."""
@@ -641,9 +650,9 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
     Certification over reduced-precision slabs (bf16/f16) additionally
     requires `rescore_corpus` ([N, F] f32 unit rows) and
     `rescore_lambdas` ([N] f32), indexed by ORIGINAL item id: the scan
-    pools m_pool (default 2*topk) candidates, rescoring cuts the served
-    top-k in f32, and the certificate adds the precision-robust pool
-    condition (_blocked_ivf_cert_rescored_jit).
+    pools m_pool (default 4*topk, see cert_pool_width) candidates,
+    rescoring cuts the served top-k in f32, and the certificate adds the
+    precision-robust pool condition (_blocked_ivf_cert_rescored_jit).
 
     Defaults from the routing sweep: q_block=16 queries share a probe list;
     with top-2 demand votes per member, n_probe=16 gives ~0.97 top-10

@@ -203,3 +203,35 @@ def test_env_slab_dtype(monkeypatch):
     ei, _ = aspace.search_batch(items[:4], gl, 0.62)
     for r in np.flatnonzero(cert):
         assert set(idx[r].tolist()) == set(ei[r].tolist())
+
+
+def test_env_slab_dtype_unknown_raises(monkeypatch):
+    """Unknown ARROWSPACE_IVF_SLABS values must raise, not silently serve
+    f32 (a deployment that asked for int8 would get the wrong precision
+    with no signal)."""
+    rng = np.random.default_rng(23)
+    items = rng.normal(size=(200, 16))
+    aspace, gl = ArrowSpaceBuilder.build(
+        {"eps": 0.9, "k": 4, "topk": 5, "p": 2.0, "sigma": 0.3}, items)
+    aspace.enable_ivf(n_clusters=8)
+    monkeypatch.setenv("ARROWSPACE_IVF_SLABS", "int8")
+    with pytest.raises(ValueError, match="ARROWSPACE_IVF_SLABS"):
+        aspace.search_batch(items[:4], gl, 0.62, mode="ivf_block",
+                            n_probe=2)
+
+
+def test_env_slab_dtype_change_rebuilds(monkeypatch):
+    """Changing ARROWSPACE_IVF_SLABS after a blocked index was built must
+    invalidate it — a stale-dtype index would keep serving the old
+    precision."""
+    rng = np.random.default_rng(24)
+    items = rng.normal(size=(400, 16))
+    aspace, gl = ArrowSpaceBuilder.build(
+        {"eps": 0.9, "k": 4, "topk": 5, "p": 2.0, "sigma": 0.3}, items)
+    monkeypatch.setenv("ARROWSPACE_IVF_SLABS", "f32")
+    aspace.enable_ivf(n_clusters=8)
+    aspace.search_batch(items[:4], gl, 0.62, mode="ivf_block", n_probe=2)
+    assert aspace._ivf_blocked.slabs.dtype == jnp.float32
+    monkeypatch.setenv("ARROWSPACE_IVF_SLABS", "bf16")
+    aspace.search_batch(items[:4], gl, 0.62, mode="ivf_block", n_probe=2)
+    assert aspace._ivf_blocked.slabs.dtype == jnp.bfloat16
