@@ -174,17 +174,25 @@ def main():
         cents, assigns = lloyd_tighten(xu, cents, max_size=cap_plan)
         print(f"clusters: {k_cl} requested -> {cents.shape[0]} after "
               f"radius/size tightening (cap {cap_plan})", flush=True)
-        run_ivf_block2(ie, k_ov, cents, assigns, min_cap=cap_plan, cf=cf)
+        # SERV_IVF_DTYPE: "f32" (default), "bf16", or a comma list for a
+        # same-session A/B (same clustering, same query sets — run-to-run
+        # tunnel weather varies ~1.5x, so only same-process comparisons
+        # are valid).
+        for dt_name in os.environ.get("SERV_IVF_DTYPE", "f32").split(","):
+            dt_name = dt_name.strip() or "f32"
+            run_ivf_block2(ie, k_ov, cents, assigns, min_cap=cap_plan,
+                           cf=cf,
+                           slab_dtype=jnp.bfloat16 if dt_name == "bf16"
+                           else None)
 
-    def run_ivf_block2(ie, k_ov, cents, assigns, min_cap=None, cf=2.0):
+    def run_ivf_block2(ie, k_ov, cents, assigns, min_cap=None, cf=2.0,
+                       slab_dtype=None):
         from pyarrowspace_tpu.ops.pallas.ivf_scan import (
             blocked_ivf_search_fused, build_blocked_ivf)
         k_cl = int(cents.shape[0])
         n_probe = int(os.environ.get("SERV_NPROBE", 16))
         qb_env = os.environ.get("SERV_QBLOCK")
         q_blk = int(qb_env) if qb_env else None
-        slab_dtype = (jnp.bfloat16 if os.environ.get("SERV_IVF_DTYPE")
-                      == "bf16" else None)
         ivf_b = build_blocked_ivf(xu, lam32, np.asarray(cents),
                                   np.asarray(assigns), capacity_factor=cf,
                                   slab_dtype=slab_dtype, min_cap=min_cap)
@@ -215,6 +223,51 @@ def main():
             "qps": round(q_batch * reps / dt, 1), "n_probe": n_probe,
             "n_clusters": k_cl,
             "top10_overlap_vs_exact": round(ov_b, 4)}
+
+        if slab_dtype is not None:
+            # On-hardware certificate error-model assertion: condition (B)
+            # of the rescored certificate is sound only if Mosaic lowers
+            # the in-kernel f32 x f32 dot at f32 fidelity (a reduced-pass
+            # bf16 lowering would silently void it; the CPU suite runs the
+            # kernel in interpret mode and cannot catch that).  Check the
+            # kernel's reduced-precision scan scores against XLA f32
+            # blended scores for the items the kernel returned.
+            from pyarrowspace_tpu.ops.distance import unit_normalize
+            from pyarrowspace_tpu.ops.pallas.ivf_scan import \
+                _res_eps_vector
+            qs = query_batches[0][:256]
+            kid_d, kscore_d = blocked_ivf_search_fused(
+                ivf_b, qs, lap_f, w_f, ts, tau, topk, n_probe=n_probe,
+                tau_mix=TAU_MIX, q_block=q_blk)
+            kid = np.asarray(kid_d)
+            kscore = np.asarray(kscore_d)
+            e_s = rayleigh_batch(qs, lap_f, normalized=False)
+            g_s = dispersion_batch(qs, w_f, e_s)
+            lam_qs = synthesize(e_s, g_s, ts, TAU_MIX).astype(jnp.float32)
+            qn_s = unit_normalize(qs.astype(jnp.float32))
+            safe = np.maximum(kid, 0)
+            rows = jnp.take(xu, jnp.asarray(safe), axis=0)  # [256,topk,F]
+            cos_t = jnp.einsum("qf,qkf->qk", qn_s, rows,
+                               preferred_element_type=jnp.float32)
+            lam_t = jnp.take(lam32, jnp.asarray(safe), axis=0)
+            prox_t = 1.0 / (1.0 + jnp.abs(lam_t - lam_qs[:, None]))
+            true_s = np.asarray(float(tau) * cos_t
+                                + (1.0 - float(tau)) * prox_t)
+            dev = float(np.max(np.abs(
+                np.where(kid >= 0, kscore - true_s, 0.0))))
+            res_max = float(np.asarray(_res_eps_vector(ivf_b)).max())
+            bound = float(tau) * (res_max + 2.0 * f * 2.0 ** -24) + 1e-5
+            holds = dev <= bound
+            print(f"{dt_name} scan error model: max dev {dev:.3e} vs "
+                  f"bound {bound:.3e} -> {'HOLDS' if holds else 'VIOLATED'}")
+            results["modes"][f"scan_error_model_{dt_name}"] = {
+                "max_dev": dev, "bound": bound, "holds": holds}
+            assert holds, (
+                f"{dt_name} kernel scan scores deviate {dev:.3e} from f32 "
+                f"reference, outside the certificate's error allowance "
+                f"{bound:.3e} — the Mosaic dot lowering no longer runs at "
+                "f32 fidelity and certified serving over reduced-precision "
+                "slabs is UNSOUND on this toolchain")
 
         # Certified-exact serving (opt-in): in-distribution queries
         # (perturbed corpus rows — the realistic serving case), certified
@@ -251,7 +304,15 @@ def main():
             n_probe_max = min(n_clusters, n // max(1, 2 * ivf_b.cap),
                               n_probe << 2)
 
-            def serve_certified(qb_):
+            def dispatch_certified(qb_):
+                # ASYNC: the fused certify program returns device arrays;
+                # nothing blocks until the certificate sync in finalize.
+                return blocked_ivf_search_fused(
+                    ivf_b, qb_, lap_f, w_f, ts, tau, topk,
+                    n_probe=n_probe, tau_mix=TAU_MIX, certify=True,
+                    q_block=q_blk, **cert_kw)
+
+            def finalize_certified(qb_, out):
                 # Same escalation semantics as search_batch
                 # (mode="certified"): widen refusals at IVF cost (n_probe
                 # doublings via the shared widen_refusals helper) BEFORE
@@ -259,10 +320,6 @@ def main():
                 # certification the exact stage almost never fires, and
                 # even a 33-query exact escalation streams the whole 3 GB
                 # corpus (~150 ms/batch measured, 308k -> 66k QPS).
-                out = blocked_ivf_search_fused(
-                    ivf_b, qb_, lap_f, w_f, ts, tau, topk,
-                    n_probe=n_probe, tau_mix=TAU_MIX, certify=True,
-                    q_block=q_blk, **cert_kw)
                 cert0 = float(np.asarray(out[2]).mean())
 
                 def run_cert(sel, np2):
@@ -298,6 +355,9 @@ def main():
                     idx_c, vals_c, cert, run_exact, topk)
                 return idx_c, vals_c, cert0
 
+            def serve_certified(qb_):
+                return finalize_certified(qb_, dispatch_certified(qb_))
+
             for b in buckets:   # warm every escalation program
                 _ = np.asarray(fused_query_pipeline(
                     xu, lam32, lap_f, w_f, ts, qsets[-1][:b], tau,
@@ -315,19 +375,45 @@ def main():
                         topk, n_probe=n_probe * 2, tau_mix=TAU_MIX,
                         certify=True, q_block=q_blk, **kw_w)[0])
             _ = serve_certified(qsets[-1])  # warm the certify program
+
+            # PIPELINED (the production serving shape, serving_stream /
+            # serving.CertifiedStream): up to `depth` certify dispatches
+            # in flight, so each batch's certificate sync (a host round
+            # trip, the dominant cost of the synchronous loop on tunneled
+            # runtimes) overlaps the next batches' device execution.
+            from pyarrowspace_tpu.serving import CertifiedStream
+            depth = int(os.environ.get("SERV_STREAM_DEPTH", reps))
+            stream = CertifiedStream(dispatch_certified,
+                                     finalize_certified, depth=depth)
+            t0 = time.perf_counter()
+            for qb_ in qsets:
+                stream.submit(qb_)
+            outs_c = stream.finish()
+            dt_p = time.perf_counter() - t0
+            rate = float(np.mean([o[2] for o in outs_c]))
+            print(f"certified-exact[{dt_name}] pipelined d={depth} "
+                  f"(np={n_probe}): {q_batch * reps / dt_p:,.0f} QPS "
+                  f"({dt_p / reps * 1000:.1f} ms/batch, "
+                  f"certified {rate:.1%})")
+
+            # SYNCHRONOUS per-batch (the per-call latency bound —
+            # search_batch(mode="certified") semantics).
             t0 = time.perf_counter()
             rates = [serve_certified(qb_)[2] for qb_ in qsets]
             dt = time.perf_counter() - t0
-            rate = float(np.mean(rates))
-            print(f"certified-exact[{dt_name}] (np={n_probe}): "
+            rate_s = float(np.mean(rates))
+            print(f"certified-exact[{dt_name}] sync (np={n_probe}): "
                   f"{q_batch * reps / dt:,.0f} QPS "
                   f"({dt / reps * 1000:.1f} ms/batch, "
-                  f"certified {rate:.1%})")
+                  f"certified {rate_s:.1%})")
             cert_key = (f"certified_np{n_probe}" if slab_dtype is None
                         else f"certified_{dt_name}_np{n_probe}")
             results["modes"][cert_key] = {
-                "qps": round(q_batch * reps / dt, 1),
-                "certified_rate": round(rate, 4), "n_probe": n_probe}
+                "qps": round(q_batch * reps / dt_p, 1),
+                "stream_depth": depth,
+                "certified_rate": round(rate, 4), "n_probe": n_probe,
+                "sync_qps": round(q_batch * reps / dt, 1),
+                "sync_ms_per_batch": round(dt / reps * 1e3, 2)}
     if only_ivf:
         # n_probe sweep runs: skip the exact/int8/subtile throughput
         # stages but keep ONE exact batch as the overlap reference.

@@ -27,6 +27,12 @@ from ..utils.debug import dbg_println
 
 _BUILDER_TOKEN = object()
 
+# Certified serving: below this base certification rate, bound-ordered
+# widening is skipped and refusals escalate straight to the exact scan —
+# re-probing a near-fully-refused batch through multiple probe doublings
+# costs more than the scan it tries to avoid (see _certified_finalize).
+_WIDEN_MIN_CERT_RATE = 0.25
+
 
 class ArrowItem:
     """A single (features, lambda) pair (reference core::ArrowItem)."""
@@ -332,6 +338,167 @@ class ArrowSpace:
                               self.nitems, capacity_factor)
         return self._ivf
 
+    def _ensure_ivf_blocked(self):
+        """Build (or rebuild on slab-dtype change) the cluster-contiguous
+        blocked-slab index used by mode="ivf_block"/"certified"."""
+        from ..ops.pallas.ivf_scan import build_blocked_ivf
+
+        if getattr(self, "_ivf", None) is None:
+            self.enable_ivf()
+        want_dtype = jnp.dtype(self._resolve_slab_dtype() or jnp.float32)
+        if (getattr(self, "_ivf_blocked", None) is not None
+                and self._ivf_blocked.slabs.dtype != want_dtype):
+            # The env/choice changed after the index was built: a
+            # stale-dtype index would silently keep serving the old
+            # precision.
+            self._ivf_blocked = None
+        if getattr(self, "_ivf_blocked", None) is None:
+            # min_cap keeps the spill-free guarantee from the size-capped
+            # clustering even when tightening grew K.
+            self._ivf_blocked = build_blocked_ivf(
+                self._data_unit, self._lambdas, self._centroids,
+                self._assignments,
+                min_cap=getattr(self, "_ivf_cap_plan", None),
+                slab_dtype=self._resolve_slab_dtype())
+        return self._ivf_blocked
+
+    def _ivf_block_dispatch(self, q, tau: float, topk: int, n_probe: int,
+                            certify: bool, m_pool):
+        """ASYNC blocked-IVF dispatch (device-resident outputs): the fused
+        synthesis + routing + scan (+ certificate) program."""
+        from ..ops.pallas.ivf_scan import blocked_ivf_search_fused
+
+        ivf = self._ensure_ivf_blocked()
+        # Reduced-precision slabs + certify: the rescored certificate
+        # needs the f32 corpus (original-id order).
+        kw = {}
+        if certify and ivf.slabs.dtype != jnp.float32:
+            kw = dict(
+                rescore_corpus=self._data_unit.astype(jnp.float32),
+                rescore_lambdas=self._lambdas.astype(jnp.float32))
+        return blocked_ivf_search_fused(
+            ivf, q, self._lap_f, self._w_f, self._tau_star, tau, topk,
+            n_probe=n_probe, rayleigh_normalized=self._rayleigh_normalized,
+            tau_mix=self._tau_mix, certify=certify, m_pool=m_pool, **kw)
+
+    def _certified_finalize(self, queries_np, out, gl, tau, topk_eff: int,
+                            n_probe: int, n_widen: int, base_m: int):
+        """Widen + escalate a certified ivf_block result to exact results
+        (shared by search_batch(mode="certified") and serving_stream so
+        the escalation semantics cannot drift).  Returns (idx, vals,
+        base_cert_rate); pulling `out` to host is the certificate sync.
+
+        Refusals first WIDEN (bound-ordered deepening: re-probe at
+        doubled n_probe, still certified — m_pool doubles with the probe
+        list, since pool-condition refusals are fixed by a wider pool,
+        not more probes) while a probe round stays well under the exact
+        scan's cost; only queries no widening round certifies escalate
+        to mode="exact" (NOT "auto": at large N auto picks the
+        bf16-selected subtile path, and certified's contract is
+        f32-exact everywhere).
+
+        Guardrail: when nearly the WHOLE batch refuses certification
+        (certificate collapse, base rate ~0 on a bad seed/batch mix),
+        every widening round re-probes the whole batch through doubled
+        probe lists and still escalates — measured ~15x slower than just
+        paying the exact scan (4.8k QPS vs ~70k at 1M x 768).  Below
+        _WIDEN_MIN_CERT_RATE, skip widening and escalate refusals
+        directly; results are exact either way.  Moderate refusal rates
+        keep widening: a probe round is IVF-cost, far cheaper per query
+        than the full exact scan."""
+        from ..ops.pallas.ivf_scan import (escalate_uncertified,
+                                           widen_refusals)
+
+        idx = np.asarray(out[0])
+        vals = np.asarray(out[1])
+        cert = np.asarray(out[2]).astype(bool)
+        rate0 = float(cert.mean()) if cert.size else 1.0
+        if rate0 >= _WIDEN_MIN_CERT_RATE:
+            ivf = self._ivf_blocked
+            n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
+            n_probe_max = min(n_clusters,
+                              self.nitems // max(1, 2 * ivf.cap),
+                              n_probe << n_widen)
+            idx, vals, cert = widen_refusals(
+                idx, vals, cert,
+                lambda sel, np2: self.search_batch(
+                    queries_np[sel], gl, tau, topk=topk_eff,
+                    mode="ivf_block", n_probe=np2, certify=True,
+                    m_pool=base_m * max(1, np2 // n_probe)),
+                topk_eff, n_probe, n_probe_max)
+        idx, vals = escalate_uncertified(
+            idx, vals, cert,
+            lambda sel: self.search_batch(queries_np[sel], gl, tau,
+                                          topk=topk_eff, mode="exact"),
+            topk_eff)
+        return idx, vals, rate0
+
+    def serving_stream(self, gl: GraphLaplacian, tau: float,
+                       topk: Optional[int] = None, n_probe: int = 8,
+                       n_widen: int = 2, m_pool: Optional[int] = None,
+                       depth: int = 4, cert_floor: float = 0.35,
+                       floor_patience: int = 2,
+                       fallback_mode: str = "auto"):
+        """Pipelined certified serving for batch STREAMS (the production
+        serving shape): returns a `serving.CertifiedStream` whose
+        `submit(queries)` keeps up to `depth` certified dispatches in
+        flight, overlapping each batch's certificate sync (a host round
+        trip) with the next batches' device execution.  Per-batch results
+        match search_batch(mode="certified") exactly; `finish()` returns
+        [(idx, vals, base_cert_rate)] in submission order.
+
+        Guardrail: if the base certification rate sits below `cert_floor`
+        for `floor_patience` consecutive batches (certificate collapse —
+        seed/data dependent, and widening on every batch costs ~15x the
+        exact scan), later batches reroute to `fallback_mode`:
+        "exact" (strictly f32-exact, certified's contract) or "auto"
+        (subtile above the ~131k-item crossover — selection exact at the
+        scan dtype with f32-rescored scores — else exact).  Pass
+        fallback_mode=None to keep certifying regardless."""
+        from ..serving import CertifiedStream
+
+        topk_eff = min(gl.params.topk if topk is None else int(topk),
+                       self.nitems)
+        base_m = (m_pool if m_pool is not None
+                  else max(4 * topk_eff, topk_eff + 6))
+        self._ensure_ivf_blocked()
+
+        def dispatch(queries):
+            q = jnp.asarray(queries, dtype=self._data.dtype)
+            if q.ndim != 2 or q.shape[1] != self.nfeatures:
+                raise ValueError(f"queries must be [Q, {self.nfeatures}], "
+                                 f"got {q.shape}")
+            return (np.asarray(queries), self._ivf_block_dispatch(
+                q, float(tau), topk_eff, n_probe, True, base_m))
+
+        def finalize(_queries, boxed):
+            queries_np, out = boxed
+            return self._certified_finalize(
+                queries_np, out, gl, tau, topk_eff, n_probe, n_widen,
+                base_m)
+
+        fb = fb_fin = None
+        if fallback_mode is not None:
+            if fallback_mode not in ("auto", "exact"):
+                raise ValueError("fallback_mode must be 'auto', 'exact', "
+                                 f"or None, got {fallback_mode!r}")
+            eff_mode = ("subtile" if fallback_mode == "auto"
+                        and self.nitems >= 131_072 else "exact")
+
+            def fb(queries):
+                # Synchronous inside submit() is fine: degraded batches
+                # pay one exact-scan latency, the guardrail's whole point.
+                return self.search_batch(queries, gl, tau, topk=topk_eff,
+                                         mode=eff_mode)
+
+            def fb_fin(_queries, out):
+                return out
+
+        return CertifiedStream(dispatch, finalize, fallback=fb,
+                               finalize_fallback=fb_fin, depth=depth,
+                               cert_floor=cert_floor,
+                               floor_patience=floor_patience)
+
     def search_hybrid_batch(self, queries, gl: GraphLaplacian, tau: float,
                             topk: Optional[int] = None):
         """Batched hybrid search (multiplicative gate) — TPU-native extra."""
@@ -433,43 +600,18 @@ class ArrowSpace:
                              "'auto', 'exact', 'int8', 'subtile', 'ivf', "
                              "'ivf_block', or 'certified'")
         if mode == "certified":
-            from ..ops.pallas.ivf_scan import (escalate_uncertified,
-                                               widen_refusals)
             queries_np = np.asarray(queries)
             topk_eff = min(gl.params.topk if topk is None else int(topk),
                            self.nitems)
-            # Reduced-precision slabs: widening rounds double the rescore
-            # POOL together with the probe list — pool-condition refusals
-            # (kth too close to the scan pool boundary) are fixed by a
-            # wider pool, not by more probes.
             base_m = (m_pool if m_pool is not None
                       else max(4 * topk_eff, topk_eff + 6))
-            idx, vals, cert = self.search_batch(
+            out = self.search_batch(
                 queries_np, gl, tau, topk=topk_eff, mode="ivf_block",
                 n_probe=n_probe, certify=True, m_pool=base_m)
-            # Refusals first WIDEN (bound-ordered deepening: re-probe at
-            # doubled n_probe, still certified) while a probe round stays
-            # well under the exact scan's cost; only the queries no
-            # widening round certifies escalate to mode="exact" (NOT
-            # "auto": at large N auto picks the bf16-selected subtile
-            # path, and certified's contract is f32-exact everywhere).
-            ivf = self._ivf_blocked
-            n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
-            n_probe_max = min(n_clusters,
-                              self.nitems // max(1, 2 * ivf.cap),
-                              n_probe << n_widen)
-            idx, vals, cert = widen_refusals(
-                idx, vals, cert,
-                lambda sel, np2: self.search_batch(
-                    queries_np[sel], gl, tau, topk=topk_eff,
-                    mode="ivf_block", n_probe=np2, certify=True,
-                    m_pool=base_m * max(1, np2 // n_probe)),
-                topk_eff, n_probe, n_probe_max)
-            return escalate_uncertified(
-                idx, vals, cert,
-                lambda sel: self.search_batch(queries_np[sel], gl, tau,
-                                              topk=topk_eff, mode="exact"),
-                topk_eff)
+            idx, vals, _rate = self._certified_finalize(
+                queries_np, out, gl, tau, topk_eff, n_probe, n_widen,
+                base_m)
+            return idx, vals
         if mode == "auto":
             mode = "subtile" if self.nitems >= 131_072 else "exact"
         q = jnp.asarray(queries, dtype=self._data.dtype)
@@ -516,41 +658,11 @@ class ArrowSpace:
             if getattr(self, "_ivf", None) is None:
                 self.enable_ivf()
             if mode == "ivf_block":
-                from ..ops.pallas.ivf_scan import (blocked_ivf_search_fused,
-                                                   build_blocked_ivf)
-                want_dtype = jnp.dtype(self._resolve_slab_dtype()
-                                       or jnp.float32)
-                if (getattr(self, "_ivf_blocked", None) is not None
-                        and self._ivf_blocked.slabs.dtype != want_dtype):
-                    # The env/choice changed after the index was built: a
-                    # stale-dtype index would silently keep serving the
-                    # old precision.
-                    self._ivf_blocked = None
-                if getattr(self, "_ivf_blocked", None) is None:
-                    # min_cap keeps the spill-free guarantee from the
-                    # size-capped clustering even when tightening grew K.
-                    self._ivf_blocked = build_blocked_ivf(
-                        self._data_unit, self._lambdas, self._centroids,
-                        self._assignments,
-                        min_cap=getattr(self, "_ivf_cap_plan", None),
-                        slab_dtype=self._resolve_slab_dtype())
-                # Reduced-precision slabs + certify: the rescored
-                # certificate needs the f32 corpus (original-id order).
-                kw = {}
-                if (certify and self._ivf_blocked.slabs.dtype
-                        != jnp.float32):
-                    kw = dict(
-                        rescore_corpus=self._data_unit.astype(jnp.float32),
-                        rescore_lambdas=self._lambdas.astype(jnp.float32))
                 # One compiled program (synthesis + routing + scan): eager
                 # per-op dispatch costs a host round trip each on tunneled
                 # runtimes.
-                out = blocked_ivf_search_fused(
-                    self._ivf_blocked, q, self._lap_f, self._w_f,
-                    self._tau_star, float(tau), topk, n_probe=n_probe,
-                    rayleigh_normalized=self._rayleigh_normalized,
-                    tau_mix=self._tau_mix, certify=certify,
-                    m_pool=m_pool, **kw)
+                out = self._ivf_block_dispatch(q, float(tau), topk,
+                                               n_probe, certify, m_pool)
                 if certify:
                     return (np.asarray(out[0]), np.asarray(out[1]),
                             np.asarray(out[2]))
