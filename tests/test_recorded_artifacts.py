@@ -149,7 +149,12 @@ def test_serving_1m_artifact():
                 if k.startswith("certified"))
     assert ivf["top10_overlap_vs_exact"] >= 0.99, ivf
     assert cert["certified_rate"] >= 0.9, cert
-    # certified serves EXACT results; it must beat the measured exact
-    # full-scan band (39-41k) and cost more than the uncertified scan.
-    assert cert["qps"] >= 45_000, cert
+    # certified serves EXACT results; pipelined (serving_stream) it must
+    # hold the BASELINE.json north star (>=100k QPS/chip; measured 117.2k
+    # 2026-08-19) and cost more than the uncertified approximate scan.
+    # Re-record rather than weaken: dropping below 100k means the
+    # flagship serving mode lost the north star.
+    assert cert["qps"] >= 100_000, cert
+    assert cert.get("stream_depth", 1) > 1, cert  # pipelined measurement
+    assert cert.get("sync_qps", cert["qps"]) >= 45_000, cert
     assert ivf["qps"] > cert["qps"], (ivf, cert)
