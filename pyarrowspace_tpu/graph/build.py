@@ -72,10 +72,17 @@ class BuildConfig:
     # The reference's CSR keeps every union edge (unbounded degree,
     # GRAPH_VARIABLES.md:7-10); the ELL layout caps rows and drops the
     # weakest edges of hub rows from BOTH endpoint rows (exact symmetry
-    # preserved, count surfaced as gl.n_dropped).  Raise toward n-1 to
-    # reproduce the uncapped reference graph on hub-heavy corpora —
-    # tests/test_hub_cap.py quantifies the default's measured cost.
+    # preserved, count surfaced as gl.n_dropped).
+    # tests/test_hub_cap.py quantifies the cap's measured cost.
     ell_width: Optional[int] = None
+    # Auto-widen: when the cap binds (n_dropped > 0), re-symmetrize at
+    # doubled widths until nothing drops — so a hub-heavy corpus builds
+    # the reference's uncapped union graph at defaults instead of
+    # silently dropping edges.  None -> on iff ell_width was NOT set
+    # explicitly (an explicit width is a user choice).  Escalation stays
+    # under an ELL HBM budget (ARROWSPACE_ELL_BUDGET_BYTES, default
+    # 2 GiB); a loud warning reports any edges still dropped at the cap.
+    ell_auto_widen: Optional[bool] = None
 
 
 DEFAULT_BUILD_CONFIG = BuildConfig()
@@ -283,6 +290,37 @@ def _assemble_from_knn(stored, xu, d, i, gp: GraphParams,
         ell_width = min(ell_width, max(n - 1, 1))
         nbr_idx, nbr_w, degrees, n_dropped = _run_symmetrize(
             i, w, ell_width, n, gp.k, f)
+        # Auto-widen (reference parity: the sprs CSR keeps EVERY union
+        # edge, GRAPH_VARIABLES.md:7-10).  Each escalation doubles the
+        # row width and re-runs only the symmetrize stage; bounded by an
+        # ELL HBM budget so a pathological corpus cannot OOM the build.
+        auto_widen = (config.ell_auto_widen
+                      if config.ell_auto_widen is not None
+                      else config.ell_width is None)
+        if auto_widen and n_dropped > 0:
+            import os as _os
+            budget = int(_os.environ.get("ARROWSPACE_ELL_BUDGET_BYTES",
+                                         2 << 30))
+            bytes_per = jnp.dtype(w.dtype).itemsize + 4   # weight + idx
+            width_cap = min(max(n - 1, 1),
+                            max(2 * gp.k, budget // (bytes_per * n)))
+            while n_dropped > 0 and ell_width < width_cap:
+                new_width = min(2 * ell_width, width_cap)
+                msg = (f"hub cap dropped {n_dropped} edges at "
+                       f"ell_width={ell_width}; widening to {new_width}")
+                dbg_println(msg)
+                log.info(msg)
+                ell_width = new_width
+                nbr_idx, nbr_w, degrees, n_dropped = _run_symmetrize(
+                    i, w, ell_width, n, gp.k, f)
+            if n_dropped > 0:
+                log.warning(
+                    "hub cap still drops %d edges at the ELL budget cap "
+                    "(ell_width=%d, ARROWSPACE_ELL_BUDGET_BYTES=%d): the "
+                    "exported Laplacian is narrower than the reference's "
+                    "unbounded union graph; raise the budget or pass "
+                    "BuildConfig(ell_width=...) explicitly",
+                    int(n_dropped), ell_width, budget)
     gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
                                   n_dropped=n_dropped)
 

@@ -87,8 +87,12 @@ def test_k_caps_degree_before_symmetrization():
     _, gl = ArrowSpaceBuilder.build(gp, items)
     nbr = np.asarray(gl.neighbor_indices)
     row_deg = (nbr >= 0).sum(axis=1)
-    # After union symmetrization degree can exceed k but is <= ELL width 2k.
-    assert row_deg.max() <= 2 * k
+    # Each directed row keeps <= k out-edges, so the symmetric union has at
+    # most n*k edges; a single row's degree may exceed 2k (hub in-edges) and
+    # the ELL auto-widens to keep every union edge (reference parity,
+    # GRAPH_VARIABLES.md:7-10) rather than capping at width 2k.
+    assert row_deg.sum() <= 2 * items.shape[0] * k
+    assert gl.n_dropped_edges == 0
     assert row_deg.min() >= 1
 
 

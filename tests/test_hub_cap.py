@@ -39,12 +39,15 @@ def hub_corpus():
     return np.concatenate([centers, members], axis=0) * 10.0
 
 
-def _build(corpus, ell_width):
+def _build(corpus, ell_width, auto_widen=False, **cfg_kw):
+    """Cap-study builds default auto_widen=False: these tests measure the
+    BOUND cap; the auto-widen default is pinned separately below."""
     gp = parse_graph_params(GP)
     import dataclasses
     gp = dataclasses.replace(gp, dims_reduction=True, reduction_eps=gp.eps,
                              seed=42, sparsity_check=False)
-    cfg = BuildConfig(ell_width=ell_width)
+    cfg = BuildConfig(ell_width=ell_width, ell_auto_widen=auto_widen,
+                      **cfg_kw)
     return build_standard(corpus, gp, cfg)
 
 
@@ -104,6 +107,46 @@ def test_cap_laplacian_cost_quantified_and_monotone_in_width(hub_corpus):
     print(f"hub-cap cost @2k: dropped_frac={frac_2k:.3f}, "
           f"weight_mass_lost={lost_2k:.3f}; @24: "
           f"dropped_frac={drop_24 / full_edges:.3f}")
+
+
+def test_auto_widen_recovers_uncapped_graph_at_defaults(hub_corpus):
+    """DEFAULT build (no explicit ell_width): the hub cap must auto-widen
+    until nothing drops, so the exported Laplacian equals the reference's
+    unbounded union graph (GRAPH_VARIABLES.md:7-10) — no silent edge
+    drops at defaults (VERDICT r3 item 5)."""
+    _, gl_auto = _build(hub_corpus, None, auto_widen=None)  # None = auto
+    assert gl_auto.n_dropped_edges == 0
+    _, gl_full = _build(hub_corpus, hub_corpus.shape[0] - 1)
+    # Off-diagonal (edge) structure exact; diagonal degrees may differ in
+    # the last ulps (summation order over different ELL widths).
+    np.testing.assert_allclose(np.asarray(gl_auto.to_dense()),
+                               np.asarray(gl_full.to_dense()),
+                               rtol=1e-12, atol=0)
+
+
+def test_explicit_width_is_respected_no_auto_widen(hub_corpus):
+    """An explicit ell_width is a user choice: the build must NOT widen
+    past it (auto only kicks in when the knob was left at None)."""
+    _, gl = _build(hub_corpus, 24, auto_widen=None)
+    assert gl.n_dropped_edges > 0
+    assert gl._nbr_idx.shape[1] == 24
+
+
+def test_auto_widen_respects_hbm_budget(hub_corpus, monkeypatch, caplog):
+    """Escalation is bounded by ARROWSPACE_ELL_BUDGET_BYTES; at an
+    artificially tiny budget the build keeps the capped graph and warns
+    loudly instead of OOMing."""
+    import logging
+    n = hub_corpus.shape[0]
+    # Budget allows only ~16 columns: 16 * (8 + 4) bytes/entry * n rows.
+    monkeypatch.setenv("ARROWSPACE_ELL_BUDGET_BYTES", str(16 * 12 * n))
+    # The engine logger is non-propagating (own stderr handler); route it
+    # through caplog for this assertion.
+    monkeypatch.setattr(logging.getLogger("arrowspace"), "propagate", True)
+    with caplog.at_level(logging.WARNING):
+        _, gl = _build(hub_corpus, None, auto_widen=None)
+    assert gl.n_dropped_edges > 0
+    assert any("still drops" in r.message for r in caplog.records)
 
 
 def test_ell_width_knob_via_fluent_builder(hub_corpus):
