@@ -158,3 +158,26 @@ def test_serving_1m_artifact():
     assert cert.get("stream_depth", 1) > 1, cert  # pipelined measurement
     assert cert.get("sync_qps", cert["qps"]) >= 45_000, cert
     assert ivf["qps"] > cert["qps"], (ivf, cert)
+
+
+def test_bf16_ab_artifact():
+    """Same-session f32 vs bf16 slab A/B at 1M x 768 (VERDICT r3 item 2):
+    the artifact must keep showing (a) the measured certified-mode bf16
+    regression docs/SERVING.md now documents, (b) ivf_block bf16 within
+    noise of f32, and (c) the on-TPU bf16 scan error model holding —
+    Mosaic lowering the in-kernel dot at f32 fidelity is what makes the
+    rescored certificate sound (ADVICE r3).  Re-record on hardware/
+    toolchain changes rather than hand-editing."""
+    d = json.loads(_latest("bf16_ab", "serving_results.json").read_text())
+    assert d["config"]["backend"] == "tpu"
+    m = d["modes"]
+    cert_f32, cert_bf16 = m["certified_np8"], m["certified_bf16_np8"]
+    # Both certify fully; bf16 is the measured slower path.
+    assert cert_f32["certified_rate"] >= 0.99
+    assert cert_bf16["certified_rate"] >= 0.99
+    assert cert_bf16["qps"] < 0.8 * cert_f32["qps"], (cert_bf16, cert_f32)
+    # ivf_block: bf16 within run-to-run noise of f32 (same session).
+    r = m["ivf_block_bf16_np8"]["qps"] / m["ivf_block_f32_np8"]["qps"]
+    assert 0.8 <= r <= 1.25, r
+    em = m["scan_error_model_bf16"]
+    assert em["holds"] and em["max_dev"] <= em["bound"], em
