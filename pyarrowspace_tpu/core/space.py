@@ -196,24 +196,13 @@ class ArrowSpace:
                         for i, s in zip(np.asarray(idx_r[0]),
                                         np.asarray(vals_r[0]))]
             # Fewer valid candidates than k -> exact fallback below.
-        e_qb = search_ops.bounded_energy(e_q, self._tau_star)
         idx, vals = search_ops.energy_topk(
-            self._data, self._lambdas, self._e_bounded, q[0], lam_q[0],
-            e_qb[0],
+            self._data, self._lambdas, self._e_raw, self._lap_f, q[0],
+            lam_q[0], e_q[0], self._tau_star,
             jnp.asarray(w_l, dtype=self._data.dtype),
             jnp.asarray(w_d, dtype=self._data.dtype), k_eff)
         return [(int(i), float(s)) for i, s in zip(np.asarray(idx),
                                                    np.asarray(vals))]
-
-    @property
-    def _e_bounded(self) -> jnp.ndarray:
-        """Items' bounded Dirichlet energies E' = e/(e + tau*) — the scale
-        energy-search proximity operates on (ops/search.bounded_energy)."""
-        eb = getattr(self, "_e_bounded_cache", None)
-        if eb is None:
-            eb = search_ops.bounded_energy(self._e_raw, self._tau_star)
-            self._e_bounded_cache = eb
-        return eb
 
     def _energy_routing(self):
         """Lazily built centroid->member bucket table for the device-side
@@ -536,9 +525,9 @@ class ArrowSpace:
         if (routed is not None and routed[0].shape[1] >= k_eff
                 and np.all(np.asarray(routed[0][:, :k_eff]) >= 0)):
             return np.asarray(routed[0]), np.asarray(routed[1])
-        e_qb = search_ops.bounded_energy(e_q, self._tau_star)
         idx, vals = search_ops.energy_topk_batch(
-            self._lambdas, self._e_bounded, lam_q, e_qb,
+            self._data, self._lambdas, self._e_raw, self._lap_f, q,
+            lam_q, e_q, self._tau_star,
             jnp.asarray(w_l, dtype=self._data.dtype),
             jnp.asarray(w_d, dtype=self._data.dtype), k_eff)
         return np.asarray(idx), np.asarray(vals)

@@ -381,24 +381,28 @@ def _sharded_search_fused(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star, tau,
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh", "tau_mix",
                                              "n_real"))
-def _sharded_search_energy(lambdas_pad, e_pad, q, lap_f, w_f, tau_star,
-                           w_l, w_d, *, k, mesh, tau_mix, n_real):
-    """Sharded energy-only serving: shard-local bounded-energy scoring
-    (ops/search.energy_topk_batch semantics) + all_gather top-k merge."""
+def _sharded_search_energy(x_pad, lambdas_pad, e_pad, q, lap_f, w_f,
+                           tau_star, w_l, w_d, *, k, mesh, tau_mix,
+                           n_real):
+    """Sharded energy-only serving: shard-local residual-Dirichlet scoring
+    (ops/search.energy_topk_batch semantics — the one energy formula on
+    every path) + all_gather top-k merge.  The cross term is a local
+    [Q,F]x[F,n_loc] MXU matmul per shard; qL is replicated."""
 
-    def body(ll, el, qb, lap, wf, ts, wl, wd):
+    def body(xl, ll, el, qb, lap, wf, ts, wl, wd):
         e_q = rayleigh_batch(qb, lap, normalized=False)
         g_q = dispersion_batch(qb, wf, e_q)
         lam_q = synthesize(e_q, g_q, ts, tau_mix)
         tss = jnp.maximum(ts, 1e-10)
-        e_qb = e_q / (e_q + tss)
-        e_lb = el / (el + tss)
         n_loc = ll.shape[0]
         my = jax.lax.axis_index(DATA_AXIS)
         gid = my * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+        qL = jnp.matmul(qb, lap, preferred_element_type=qb.dtype)
+        cross = jnp.matmul(qL, xl.T, preferred_element_type=qb.dtype)
+        d_res = jnp.maximum(e_q[:, None] + el[None, :] - 2.0 * cross, 0.0)
+        db = d_res / (d_res + tss)
         prox_l = 1.0 / (1.0 + jnp.abs(ll[None, :] - lam_q[:, None]))
-        prox_e = 1.0 / (1.0 + jnp.abs(e_lb[None, :] - e_qb[:, None]))
-        score = wl * prox_l + wd * prox_e
+        score = wl * prox_l + wd / (1.0 + db)
         score = jnp.where(gid[None, :] < n_real, score, -jnp.inf)
         vals, idx = jax.lax.top_k(score, k)
         gidx = my * n_loc + idx.astype(jnp.int32)
@@ -412,10 +416,10 @@ def _sharded_search_energy(lambdas_pad, e_pad, q, lap_f, w_f, tau_star,
         return fi, fv
 
     fn = shard_map(body, mesh=mesh,
-                   in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(),
-                             P(), P(), P()),
+                   in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                             P(), P(), P(), P(), P(), P()),
                    out_specs=(P(), P()), check_vma=False)
-    return fn(lambdas_pad, e_pad, q, lap_f, w_f, tau_star,
+    return fn(x_pad, lambdas_pad, e_pad, q, lap_f, w_f, tau_star,
               jnp.asarray(w_l), jnp.asarray(w_d))
 
 
@@ -874,9 +878,9 @@ class ShardedArrowSpace:
         w_d = 0.5 if w_dirichlet is None else float(w_dirichlet)
         k_eff = min(int(k), self._n_real)
         idx, vals = _sharded_search_energy(
-            self._lambdas_pad, self._e_pad, q, self._lap_f, self._w_f,
-            self._tau_star, w_l, w_d, k=k_eff, mesh=self.mesh,
-            tau_mix=self._tau_mix, n_real=self._n_real)
+            self._stored_pad, self._lambdas_pad, self._e_pad, q,
+            self._lap_f, self._w_f, self._tau_star, w_l, w_d, k=k_eff,
+            mesh=self.mesh, tau_mix=self._tau_mix, n_real=self._n_real)
         return np.asarray(idx), np.asarray(vals)
 
 

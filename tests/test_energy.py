@@ -82,3 +82,39 @@ def test_energy_build_tiny_corpus():
         {"eps": 1.0, "k": 6, "topk": 3, "p": 2.0, "sigma": 1.0})
     hits = aspace.search_energy(np.array([0.05, 0.2, 0.25]), gle, k=20)
     assert len(hits) == 3
+
+
+def test_routed_equals_fallback_when_pool_covers(corpus):
+    """One scoring formula on both paths (VERDICT r3 item 9): with a
+    probe wide enough that the candidate pool covers the whole corpus,
+    the routed search must return the SAME ranking and scores as the
+    exact fallback scan — no discontinuity between paths (reference pool
+    semantics, src/lib.rs:311-323)."""
+    import jax.numpy as jnp
+    from pyarrowspace_tpu.ops import search as search_ops
+
+    aspace, gle = ArrowSpaceBuilder.build_energy(
+        corpus, {"optical_tokens": 30, "eta": 0.05, "steps": 4,
+                 "candidate_m": 10_000}, GP)
+    rng = np.random.default_rng(3)
+    for qi in (5, 250, 617):
+        q = corpus[qi] + 0.05 * rng.normal(size=32)
+        routed = aspace.search_energy(q, gle, 12)
+        # Exact fallback on the full corpus, bypassing routing.
+        from pyarrowspace_tpu.ops.rayleigh import (rayleigh_batch,
+                                                   dispersion_batch)
+        from pyarrowspace_tpu.spectral.taumode import synthesize
+        qj = jnp.asarray(q, dtype=aspace._data.dtype).reshape(1, -1)
+        e_q = rayleigh_batch(qj, aspace._lap_f, normalized=False)
+        g_q = dispersion_batch(qj, aspace._w_f, e_q)
+        lam_q = synthesize(e_q, g_q, aspace._tau_star, aspace._tau_mix)
+        idx, vals = search_ops.energy_topk(
+            aspace._data, aspace._lambdas, aspace._e_raw, aspace._lap_f,
+            qj[0], lam_q[0], e_q[0], aspace._tau_star,
+            jnp.asarray(1.0, dtype=aspace._data.dtype),
+            jnp.asarray(0.5, dtype=aspace._data.dtype), 12)
+        exact = [(int(i), float(s)) for i, s in zip(np.asarray(idx),
+                                                    np.asarray(vals))]
+        assert [i for i, _ in routed] == [i for i, _ in exact]
+        np.testing.assert_allclose([s for _, s in routed],
+                                   [s for _, s in exact], rtol=1e-9)
