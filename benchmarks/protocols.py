@@ -242,6 +242,43 @@ def load_beir_export(name: str = "msmarco"):
     return corpus, queries, relevant
 
 
+def corpus_stats(corpus: np.ndarray, sample: int = 4096, seed: int = 0):
+    """Generator-agnostic corpus statistics that predict whether the
+    lambda channel carries retrieval information (the bench_10 regime
+    study maps these to measured ΔMRR vs cosine):
+
+      norm_cv       std/mean of row L2 norms — norm heteroscedasticity,
+                    the statistic the unnormalized Dirichlet energy (and
+                    so lambda) keys on; cosine is blind to it.
+      log_norm_std  std of log row norms (scale-mixture width, robust to
+                    a heavy norm tail).
+      anisotropy    top-eigenvalue fraction of the covariance spectrum
+                    (1/F = isotropic; sentence embeddings are known to
+                    concentrate mass in a few directions).
+      intrinsic_dim TwoNN estimate (reduction/pipeline.py).
+
+    Compute the SAME stats on a real embedding export (load_beir_export)
+    to locate it on the recorded bench_10 sweep — docs/QUALITY.md
+    runbook."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(corpus, dtype=np.float64)
+    if x.shape[0] > sample:
+        x = x[rng.choice(x.shape[0], size=sample, replace=False)]
+    norms = np.linalg.norm(x, axis=1)
+    xc = x - x.mean(axis=0, keepdims=True)
+    # Top-eigenvalue fraction via the Gram spectrum (F can exceed sample).
+    sv = np.linalg.svd(xc, compute_uv=False)
+    ev = sv * sv
+    from pyarrowspace_tpu.reduction.pipeline import twonn_intrinsic_dim
+    id_dim, _ = twonn_intrinsic_dim(x.astype(np.float32))
+    return {
+        "norm_cv": float(norms.std() / max(norms.mean(), 1e-30)),
+        "log_norm_std": float(np.log(np.maximum(norms, 1e-30)).std()),
+        "anisotropy": float(ev[0] / max(ev.sum(), 1e-30)),
+        "intrinsic_dim": int(id_dim),
+    }
+
+
 def try_load_real_embeddings(name: str):
     """Load pre-exported embeddings from ARROWSPACE_DATA_DIR/{name}.npy if
     present (the path for users who ran the reference's embedding stage)."""

@@ -181,3 +181,33 @@ def test_bf16_ab_artifact():
     assert 0.8 <= r <= 1.25, r
     em = m["scan_error_model_bf16"]
     assert em["holds"] and em["max_dev"] <= em["bound"], em
+
+
+def test_lambda_regimes_artifact():
+    """The lambda-vs-cosine regime study (VERDICT r3 item 4) must keep
+    its characterization: the win needs the CONJUNCTION of norm
+    heteroscedasticity and hard cosine negatives; either mechanism alone
+    is ~neutral, the neutral corpus shows no win, recall stays tied
+    (the reference's real-data signature: MRR/nDCG up, recall tied)."""
+    d = json.loads(_latest("lambda_regimes", "lambda_regimes.json")
+                   .read_text())
+    agg = {(a["axis"], a["scale_ratio"], a["hn_frac"]): a
+           for a in d["aggregate"]}
+    neutral = agg[("neutral", 1.0, 0.0)]
+    assert abs(neutral["mean_delta_mrr_pct"]) < 2.0, neutral
+    # Single mechanisms: ~neutral.
+    assert agg[("scale_axis", 1.0, 0.15)]["mean_delta_mrr_pct"] < 2.0
+    assert agg[("hn_axis", 3.0, 0.0)]["mean_delta_mrr_pct"] < 2.0
+    # Conjunction: a clear win that grows with either axis.
+    assert agg[("scale_axis", 1.8, 0.15)]["mean_delta_mrr_pct"] >= 3.0
+    assert agg[("hn_axis", 3.0, 0.25)]["mean_delta_mrr_pct"] >= 5.0
+    hn_deltas = [agg[("hn_axis", 3.0, h)]["mean_delta_mrr_pct"]
+                 for h in (0.0, 0.08, 0.25)]
+    assert hn_deltas == sorted(hn_deltas), hn_deltas
+    # Recall tied everywhere (the reference signature).
+    for a in d["aggregate"]:
+        assert abs(a["mean_recall_gap_pct"]) <= 2.0, a
+    # norm_cv is the measurable predictor: the winning points carry
+    # visibly dispersed norms, the neutral point does not.
+    assert agg[("scale_axis", 1.8, 0.15)]["mean_norm_cv"] >= 0.1
+    assert neutral["mean_norm_cv"] <= 0.05
