@@ -198,6 +198,53 @@ def _run_symmetrize(i, w, ell_width: int, n: int, k: int, f: int):
         return nbr_idx, nbr_w, jnp.sum(nbr_w, axis=1), int(n_dropped)
 
 
+def symmetrize_auto_widen(run, config: BuildConfig, gp: GraphParams, *,
+                          n: int, weight_itemsize: int):
+    """Run a symmetrize stage with the shared hub-cap escalation policy
+    (reference parity: the sprs CSR keeps EVERY union edge,
+    GRAPH_VARIABLES.md:7-10).  Used by BOTH the single-chip build
+    (_assemble_from_knn) and the sharded build (parallel/sharded.py) so
+    their graphs stay identical on hub-heavy corpora.
+
+    `run(width)` -> (nbr_idx, nbr_w, degrees, n_dropped).  When the knob
+    was left at defaults and the cap binds, each escalation doubles the
+    row width and re-runs only the symmetrize stage; bounded by an ELL
+    HBM budget (ARROWSPACE_ELL_BUDGET_BYTES, default 2 GiB) so a
+    pathological corpus cannot OOM the build; a loud warning reports any
+    edges still dropped at the budget cap."""
+    import os as _os
+    ell_width = (config.ell_width if config.ell_width is not None
+                 else 2 * gp.k)
+    ell_width = min(ell_width, max(n - 1, 1))
+    nbr_idx, nbr_w, degrees, n_dropped = run(ell_width)
+    auto_widen = (config.ell_auto_widen
+                  if config.ell_auto_widen is not None
+                  else config.ell_width is None)
+    if auto_widen and n_dropped > 0:
+        budget = int(_os.environ.get("ARROWSPACE_ELL_BUDGET_BYTES",
+                                     2 << 30))
+        bytes_per = weight_itemsize + 4               # weight + idx
+        width_cap = min(max(n - 1, 1),
+                        max(2 * gp.k, budget // (bytes_per * n)))
+        while n_dropped > 0 and ell_width < width_cap:
+            new_width = min(2 * ell_width, width_cap)
+            msg = (f"hub cap dropped {int(n_dropped)} edges at "
+                   f"ell_width={ell_width}; widening to {new_width}")
+            dbg_println(msg)
+            log.info(msg)
+            ell_width = new_width
+            nbr_idx, nbr_w, degrees, n_dropped = run(ell_width)
+        if n_dropped > 0:
+            log.warning(
+                "hub cap still drops %d edges at the ELL budget cap "
+                "(ell_width=%d, ARROWSPACE_ELL_BUDGET_BYTES=%d): the "
+                "exported Laplacian is narrower than the reference's "
+                "unbounded union graph; raise the budget or pass "
+                "BuildConfig(ell_width=...) explicitly",
+                int(n_dropped), ell_width, budget)
+    return nbr_idx, nbr_w, degrees, n_dropped
+
+
 def build_standard(items, gp: GraphParams,
                    config: BuildConfig = DEFAULT_BUILD_CONFIG
                    ) -> tuple[ArrowSpace, GraphLaplacian]:
@@ -285,42 +332,9 @@ def _assemble_from_knn(stored, xu, d, i, gp: GraphParams,
         w = jnp.where(i >= 0, w, 0.0)
 
     with phase("symmetrize"):
-        ell_width = (config.ell_width if config.ell_width is not None
-                     else 2 * gp.k)
-        ell_width = min(ell_width, max(n - 1, 1))
-        nbr_idx, nbr_w, degrees, n_dropped = _run_symmetrize(
-            i, w, ell_width, n, gp.k, f)
-        # Auto-widen (reference parity: the sprs CSR keeps EVERY union
-        # edge, GRAPH_VARIABLES.md:7-10).  Each escalation doubles the
-        # row width and re-runs only the symmetrize stage; bounded by an
-        # ELL HBM budget so a pathological corpus cannot OOM the build.
-        auto_widen = (config.ell_auto_widen
-                      if config.ell_auto_widen is not None
-                      else config.ell_width is None)
-        if auto_widen and n_dropped > 0:
-            import os as _os
-            budget = int(_os.environ.get("ARROWSPACE_ELL_BUDGET_BYTES",
-                                         2 << 30))
-            bytes_per = jnp.dtype(w.dtype).itemsize + 4   # weight + idx
-            width_cap = min(max(n - 1, 1),
-                            max(2 * gp.k, budget // (bytes_per * n)))
-            while n_dropped > 0 and ell_width < width_cap:
-                new_width = min(2 * ell_width, width_cap)
-                msg = (f"hub cap dropped {n_dropped} edges at "
-                       f"ell_width={ell_width}; widening to {new_width}")
-                dbg_println(msg)
-                log.info(msg)
-                ell_width = new_width
-                nbr_idx, nbr_w, degrees, n_dropped = _run_symmetrize(
-                    i, w, ell_width, n, gp.k, f)
-            if n_dropped > 0:
-                log.warning(
-                    "hub cap still drops %d edges at the ELL budget cap "
-                    "(ell_width=%d, ARROWSPACE_ELL_BUDGET_BYTES=%d): the "
-                    "exported Laplacian is narrower than the reference's "
-                    "unbounded union graph; raise the budget or pass "
-                    "BuildConfig(ell_width=...) explicitly",
-                    int(n_dropped), ell_width, budget)
+        nbr_idx, nbr_w, degrees, n_dropped = symmetrize_auto_widen(
+            lambda width: _run_symmetrize(i, w, width, n, gp.k, f),
+            config, gp, n=n, weight_itemsize=jnp.dtype(w.dtype).itemsize)
     gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
                                   n_dropped=n_dropped)
 

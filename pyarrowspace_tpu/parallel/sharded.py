@@ -953,11 +953,15 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
     with phase("sharded_symmetrize"):
         w_pad = kernel_weights(d_pad, sigma, gp.p)
         w_pad = jnp.where(i_pad >= 0, w_pad, 0.0)
-        ell_width = (config.ell_width if config.ell_width is not None
-                     else 2 * gp.k)
-        ell_width = min(ell_width, max(n - 1, 1))
-        nbr_idx, nbr_w, degrees, n_dropped = sharded_symmetrize(
-            i_pad, w_pad, ell_width, n, n_dev, mesh)
+        # Same hub-cap escalation as the single-chip build — the sharded
+        # graph must stay identical on hub-heavy corpora (the sharded
+        # parity invariant).
+        from ..graph.build import symmetrize_auto_widen
+        nbr_idx, nbr_w, degrees, n_dropped = symmetrize_auto_widen(
+            lambda width: sharded_symmetrize(i_pad, w_pad, width, n,
+                                             n_dev, mesh),
+            config, gp, n=n,
+            weight_itemsize=jnp.dtype(w_pad.dtype).itemsize)
     gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
                                   n_dropped=int(n_dropped))
 
