@@ -199,7 +199,8 @@ def _run_symmetrize(i, w, ell_width: int, n: int, k: int, f: int):
 
 
 def symmetrize_auto_widen(run, config: BuildConfig, gp: GraphParams, *,
-                          n: int, weight_itemsize: int):
+                          n: int, weight_itemsize: int,
+                          width_bound_fn=None):
     """Run a symmetrize stage with the shared hub-cap escalation policy
     (reference parity: the sprs CSR keeps EVERY union edge,
     GRAPH_VARIABLES.md:7-10).  Used by BOTH the single-chip build
@@ -207,25 +208,39 @@ def symmetrize_auto_widen(run, config: BuildConfig, gp: GraphParams, *,
     their graphs stay identical on hub-heavy corpora.
 
     `run(width)` -> (nbr_idx, nbr_w, degrees, n_dropped).  When the knob
-    was left at defaults and the cap binds, each escalation doubles the
-    row width and re-runs only the symmetrize stage; bounded by an ELL
-    HBM budget (ARROWSPACE_ELL_BUDGET_BYTES, default 2 GiB) so a
+    was left at defaults, `width_bound_fn()` (an upper bound on the max
+    union row degree, ops/symmetrize.union_width_bound — one ~100 ms
+    histogram) PRE-SIZES the width to a k-multiple bucket so the stage
+    runs ONCE even on hub corpora, instead of paying a full doubling
+    re-run (~600 ms at 313k).  A doubling loop remains as the backstop
+    for the bound being beaten by the budget cap.  Bounded by an ELL HBM
+    budget (ARROWSPACE_ELL_BUDGET_BYTES, default 2 GiB) so a
     pathological corpus cannot OOM the build; a loud warning reports any
     edges still dropped at the budget cap."""
     import os as _os
-    ell_width = (config.ell_width if config.ell_width is not None
-                 else 2 * gp.k)
-    ell_width = min(ell_width, max(n - 1, 1))
-    nbr_idx, nbr_w, degrees, n_dropped = run(ell_width)
     auto_widen = (config.ell_auto_widen
                   if config.ell_auto_widen is not None
                   else config.ell_width is None)
+    budget = int(_os.environ.get("ARROWSPACE_ELL_BUDGET_BYTES", 2 << 30))
+    bytes_per = weight_itemsize + 4                   # weight + idx
+    width_cap = min(max(n - 1, 1),
+                    max(2 * gp.k, budget // (bytes_per * n)))
+    ell_width = (config.ell_width if config.ell_width is not None
+                 else 2 * gp.k)
+    ell_width = min(ell_width, max(n - 1, 1))
+    if auto_widen and width_bound_fn is not None:
+        need = int(width_bound_fn())
+        if need > ell_width:
+            # Bucket to a k multiple: bounds compile-cache variety while
+            # following the corpus (widths recur across same-k builds).
+            step = max(gp.k, 8)
+            sized = min(width_cap, -(-need // step) * step)
+            if sized > ell_width:
+                dbg_println(f"hub presize: union degree bound {need} > "
+                            f"ell_width {ell_width}; sizing to {sized}")
+                ell_width = sized
+    nbr_idx, nbr_w, degrees, n_dropped = run(ell_width)
     if auto_widen and n_dropped > 0:
-        budget = int(_os.environ.get("ARROWSPACE_ELL_BUDGET_BYTES",
-                                     2 << 30))
-        bytes_per = weight_itemsize + 4               # weight + idx
-        width_cap = min(max(n - 1, 1),
-                        max(2 * gp.k, budget // (bytes_per * n)))
         while n_dropped > 0 and ell_width < width_cap:
             new_width = min(2 * ell_width, width_cap)
             msg = (f"hub cap dropped {int(n_dropped)} edges at "
@@ -332,9 +347,11 @@ def _assemble_from_knn(stored, xu, d, i, gp: GraphParams,
         w = jnp.where(i >= 0, w, 0.0)
 
     with phase("symmetrize"):
+        from ..ops.symmetrize import union_width_bound
         nbr_idx, nbr_w, degrees, n_dropped = symmetrize_auto_widen(
             lambda width: _run_symmetrize(i, w, width, n, gp.k, f),
-            config, gp, n=n, weight_itemsize=jnp.dtype(w.dtype).itemsize)
+            config, gp, n=n, weight_itemsize=jnp.dtype(w.dtype).itemsize,
+            width_bound_fn=lambda: union_width_bound(i))
     gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
                                   n_dropped=n_dropped)
 

@@ -53,6 +53,30 @@ def _rank_within_rows(rows: jnp.ndarray, flags: jnp.ndarray, n: int):
     return global_rank - starts[rows]
 
 
+def _rank_sorted(r2: jnp.ndarray, flags: jnp.ndarray):
+    """Rank of each flagged entry within its row, counting flagged entries
+    only — for entries ALREADY SORTED by row, without segment_sum.
+
+    segment_sum lowers to a scatter-add (~290 ms for 15.7M entries on
+    v5e, the dominant symmetrize cost measured round 4); on row-sorted
+    input the same ranks come from a cummax (row-start index) + cumsum
+    (flagged prefix): rank[p] = #flagged<=p - #flagged<row_start(p) - 1.
+    Values at non-flagged positions are garbage — callers mask.
+
+    Returns (rank, cum_flagged_inclusive) — the cumsum is reused by the
+    placement stage (compacted position of a flagged entry = cumsum-1).
+    """
+    m = r2.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), r2[1:] != r2[:-1]])
+    row_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    c = jnp.cumsum(flags.astype(jnp.int32))           # inclusive prefix
+    c_before = jnp.where(row_start > 0, c[jnp.maximum(row_start - 1, 0)],
+                         0)
+    return c - c_before - 1, c
+
+
 @functools.partial(jax.jit, static_argnames=("ell_width",))
 def symmetrize_to_ell(idx: jnp.ndarray, w: jnp.ndarray, ell_width: int):
     """Build the symmetrized union graph in padded-ELL form.
@@ -96,17 +120,24 @@ def symmetrize_to_ell(idx: jnp.ndarray, w: jnp.ndarray, ell_width: int):
 
     # THE sort: (row, -w, col) — highest weight first within a row, ties by
     # ascending column (the documented placement order; the golden test pins
-    # it).  Payloads ride along in the same fused sort.
-    r2, _, c2, w2, eid2 = jax.lax.sort(
-        (rows, -ww, cols, ww, eid), num_keys=3)
+    # it).  One payload (eid); the sorted weight is recovered from the -w
+    # key.  Round-4 measured costs drove every stage choice here: scatters
+    # run ~150-290 ms for 15.7M entries on v5e while a whole extra sort is
+    # 69-130 ms and coherent gathers are ~40 ms — so the pipeline below
+    # uses cummax/cumsum ranks (_rank_sorted), a SORT-based inverse
+    # permutation, and a compaction-sort + coherent-gather placement
+    # instead of the scatter formulations (1297 -> ~600 ms at 313k).
+    r2, nw2, c2, eid2 = jax.lax.sort((rows, -ww, cols, eid), num_keys=3)
+    w2 = -nw2
     in_row = r2 < n
-    pos = _rank_within_rows(r2, in_row, n)
+    pos, _ = _rank_sorted(r2, in_row)
     fits_sorted = in_row & (pos < m)
 
-    # Scatter fit flags back to entry order, then resolve the symmetric cap
-    # with gathers: an undirected edge survives iff both of its ordered
+    # Fit flags back to entry order via a sort-based inverse permutation
+    # (cheaper than a 2Nk scatter), then resolve the symmetric cap with
+    # gathers: an undirected edge survives iff both of its ordered
     # entries fit.
-    fits = jnp.zeros((2 * n * k,), dtype=bool).at[eid2].set(fits_sorted)
+    _, fits = jax.lax.sort((eid2, fits_sorted), num_keys=1)
     fits_fwd = fits[: n * k].reshape(n, k)
     fits_rev = fits[n * k:].reshape(n, k)
     partner_fit_mutual = fits_fwd[safe_idx, partner_slot]  # [N, k]
@@ -118,17 +149,24 @@ def symmetrize_to_ell(idx: jnp.ndarray, w: jnp.ndarray, ell_width: int):
 
     n_dropped = jnp.sum(valid & ~survives).astype(jnp.int32)
 
-    # Final placement: rank among surviving entries in the sorted order.
+    # Final placement: compact the survivors (stable, keeping the sorted
+    # (row, -w, col) order) with one more sort, then fill the [N, m] ELL
+    # with coherent gathers — row r's survivors sit at compacted
+    # positions [S[bounds[r]], S[bounds[r]] + cnt_r).
     surv_sorted = survives[eid2]
-    pos2 = _rank_within_rows(r2, surv_sorted, n)
-    flat_pos = jnp.where(surv_sorted, r2 * m + pos2, n * m)
-
-    nbr_idx = jnp.full((n * m + 1,), -1, dtype=jnp.int32)
-    nbr_w = jnp.zeros((n * m + 1,), dtype=w.dtype)
-    nbr_idx = nbr_idx.at[flat_pos].set(jnp.where(surv_sorted, c2, -1))
-    nbr_w = nbr_w.at[flat_pos].set(jnp.where(surv_sorted, w2, 0.0))
-    nbr_idx = nbr_idx[: n * m].reshape(n, m)
-    nbr_w = nbr_w[: n * m].reshape(n, m)
+    _, c = _rank_sorted(r2, surv_sorted)
+    ckey = jnp.where(surv_sorted, jnp.arange(2 * n * k, dtype=jnp.int32),
+                     jnp.asarray(2 * n * k, jnp.int32))
+    _, cc, cw = jax.lax.sort((ckey, c2, w2), num_keys=1)
+    bounds = jnp.searchsorted(r2, jnp.arange(n + 1, dtype=r2.dtype))
+    s_pre = jnp.concatenate([jnp.zeros((1,), c.dtype), c])  # surv before b
+    cb = s_pre[bounds[:-1]]                                 # [n]
+    cnt = s_pre[bounds[1:]] - cb                            # [n]
+    gidx = jnp.minimum(cb[:, None] + jnp.arange(m, dtype=c.dtype)[None, :],
+                       2 * n * k - 1)
+    mask = jnp.arange(m, dtype=c.dtype)[None, :] < cnt[:, None]
+    nbr_idx = jnp.where(mask, cc[gidx], -1)
+    nbr_w = jnp.where(mask, cw[gidx], 0.0)
     degrees = jnp.sum(nbr_w, axis=1)
     return nbr_idx, nbr_w, degrees, n_dropped
 
@@ -273,3 +311,24 @@ def symmetrize_to_ell_chunked(idx: jnp.ndarray, w: jnp.ndarray,
     nbr_w = nbr_w[: n * m].reshape(n, m)
     degrees = jnp.sum(nbr_w, axis=1)
     return nbr_idx, nbr_w, degrees, n_dropped, n_overflow
+
+
+@jax.jit
+def union_width_bound(idx: jnp.ndarray) -> jnp.ndarray:
+    """Cheap upper bound on the union graph's max row degree.
+
+    union_degree(i) = |knn_out(i)| + |knn_in(i) \\ knn_out(i)|
+                    <= fwd_valid(i) + in_count(i)
+    (mutual edges double-count, so this overestimates by at most the
+    mutual in-degree).  One scatter-add histogram over the Nk directed
+    entries — used by the build's auto-widen to PRE-SIZE the ELL width
+    so reference-parity (keep every union edge) costs one symmetrize
+    pass instead of a doubling re-run (graph/build.symmetrize_auto_widen).
+    Padded/invalid rows (idx == -1) contribute nothing."""
+    n, k = idx.shape
+    valid = idx >= 0
+    fwd = jnp.sum(valid, axis=1).astype(jnp.int32)
+    safe = jnp.where(valid, idx, 0).reshape(-1)
+    in_cnt = (jnp.zeros((n,), jnp.int32)
+              .at[safe].add(valid.astype(jnp.int32).reshape(-1)))
+    return jnp.max(fwd + in_cnt)

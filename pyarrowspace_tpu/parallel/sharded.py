@@ -957,11 +957,13 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
         # graph must stay identical on hub-heavy corpora (the sharded
         # parity invariant).
         from ..graph.build import symmetrize_auto_widen
+        from ..ops.symmetrize import union_width_bound
         nbr_idx, nbr_w, degrees, n_dropped = symmetrize_auto_widen(
             lambda width: sharded_symmetrize(i_pad, w_pad, width, n,
                                              n_dev, mesh),
             config, gp, n=n,
-            weight_itemsize=jnp.dtype(w_pad.dtype).itemsize)
+            weight_itemsize=jnp.dtype(w_pad.dtype).itemsize,
+            width_bound_fn=lambda: union_width_bound(i_pad))
     gl = GraphLaplacian._from_ell(nbr_idx, nbr_w, degrees, gp,
                                   n_dropped=int(n_dropped))
 

@@ -27,9 +27,13 @@ def golden_build_and_search(items, gp, query, tau):
         adj[r, nbrs[keep]] = True
     adj |= adj.T
     w = np.where(adj, 1.0 / (1.0 + (dmat / sigma) ** p), 0.0)
-    # ELL width cap: an edge survives only if it ranks within the top 2k by
-    # weight (ties by column index) in BOTH endpoint rows.
-    m = 2 * k
+    # Default build semantics: auto-widen keeps EVERY union edge
+    # (reference parity, GRAPH_VARIABLES.md:7-10) — so the effective
+    # width cap is unbounded.  The rank machinery below still mirrors
+    # the documented highest-weight-first / ties-by-column placement an
+    # EXPLICIT ell_width would cap at (tests/test_hub_cap.py covers the
+    # capped path).
+    m = n
     rank = np.full((n, n), n * n, dtype=int)
     for r in range(n):
         cols_r = np.nonzero(adj[r])[0]
