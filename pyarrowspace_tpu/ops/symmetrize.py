@@ -136,8 +136,10 @@ def symmetrize_to_ell(idx: jnp.ndarray, w: jnp.ndarray, ell_width: int):
     # Fit flags back to entry order via a sort-based inverse permutation
     # (cheaper than a 2Nk scatter), then resolve the symmetric cap with
     # gathers: an undirected edge survives iff both of its ordered
-    # entries fit.
-    _, fits = jax.lax.sort((eid2, fits_sorted), num_keys=1)
+    # entries fit.  spos (each entry's sorted position) rides along so
+    # the survive flags can return to sorted order with another cheap
+    # sort instead of a 15.7M random gather (A/B: 847 vs 926 ms total).
+    _, fits, spos = jax.lax.sort((eid2, fits_sorted, eid), num_keys=1)
     fits_fwd = fits[: n * k].reshape(n, k)
     fits_rev = fits[n * k:].reshape(n, k)
     partner_fit_mutual = fits_fwd[safe_idx, partner_slot]  # [N, k]
@@ -149,24 +151,21 @@ def symmetrize_to_ell(idx: jnp.ndarray, w: jnp.ndarray, ell_width: int):
 
     n_dropped = jnp.sum(valid & ~survives).astype(jnp.int32)
 
-    # Final placement: compact the survivors (stable, keeping the sorted
-    # (row, -w, col) order) with one more sort, then fill the [N, m] ELL
-    # with coherent gathers — row r's survivors sit at compacted
-    # positions [S[bounds[r]], S[bounds[r]] + cnt_r).
-    surv_sorted = survives[eid2]
-    _, c = _rank_sorted(r2, surv_sorted)
-    ckey = jnp.where(surv_sorted, jnp.arange(2 * n * k, dtype=jnp.int32),
-                     jnp.asarray(2 * n * k, jnp.int32))
-    _, cc, cw = jax.lax.sort((ckey, c2, w2), num_keys=1)
-    bounds = jnp.searchsorted(r2, jnp.arange(n + 1, dtype=r2.dtype))
-    s_pre = jnp.concatenate([jnp.zeros((1,), c.dtype), c])  # surv before b
-    cb = s_pre[bounds[:-1]]                                 # [n]
-    cnt = s_pre[bounds[1:]] - cb                            # [n]
-    gidx = jnp.minimum(cb[:, None] + jnp.arange(m, dtype=c.dtype)[None, :],
-                       2 * n * k - 1)
-    mask = jnp.arange(m, dtype=c.dtype)[None, :] < cnt[:, None]
-    nbr_idx = jnp.where(mask, cc[gidx], -1)
-    nbr_w = jnp.where(mask, cw[gidx], 0.0)
+    # Final placement: rank among surviving entries in the sorted order,
+    # then one two-array scatter.  (Measured: a compaction-sort +
+    # searchsorted + [N,m]-gather placement costs ~570 ms at 313k — XLA
+    # gathers are ~145 ms per 15.7M elements even with coherent indices —
+    # while the scatter pair is 273 ms.)
+    _, surv_sorted = jax.lax.sort((spos, survives), num_keys=1)
+    pos2, _ = _rank_sorted(r2, surv_sorted)
+    flat_pos = jnp.where(surv_sorted, r2 * m + pos2, n * m)
+
+    nbr_idx = jnp.full((n * m + 1,), -1, dtype=jnp.int32)
+    nbr_w = jnp.zeros((n * m + 1,), dtype=w.dtype)
+    nbr_idx = nbr_idx.at[flat_pos].set(jnp.where(surv_sorted, c2, -1))
+    nbr_w = nbr_w.at[flat_pos].set(jnp.where(surv_sorted, w2, 0.0))
+    nbr_idx = nbr_idx[: n * m].reshape(n, m)
+    nbr_w = nbr_w[: n * m].reshape(n, m)
     degrees = jnp.sum(nbr_w, axis=1)
     return nbr_idx, nbr_w, degrees, n_dropped
 
