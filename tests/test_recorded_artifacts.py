@@ -211,3 +211,16 @@ def test_lambda_regimes_artifact():
     # visibly dispersed norms, the neutral point does not.
     assert agg[("scale_axis", 1.8, 0.15)]["mean_norm_cv"] >= 0.1
     assert neutral["mean_norm_cv"] <= 0.05
+
+
+def test_rescore_pallas_ab_artifact():
+    """The Pallas-rescore A/B (VERDICT r3 item 6) must keep its measured
+    outcome: the scalar-prefetch 8-row-block rescore is SLOWER than the
+    XLA gather+einsum it was meant to replace, so the XLA rescore stays
+    (docs/SERVING.md quotes the XLA path; this pins why)."""
+    d = json.loads(_latest("rescore_pallas_ab", "results.json").read_text())
+    rows = d["results"]["timing_same_session_ab"]
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["pallas_ms"] > r["xla_ms"], r
+    assert d["results"]["correctness"]["bad_frac_n1007616_q16384_m15"] > 0.5
