@@ -56,6 +56,10 @@ class ArrowSpace:
         self._data_unit: jnp.ndarray = kwargs["data_unit"]  # [N, F] unit rows
         self._lambdas: jnp.ndarray = kwargs["lambdas"]    # [N]
         self._e_raw: jnp.ndarray = kwargs["e_raw"]        # [N] Dirichlet energy
+        # [N] RAW x^T L_f x, kept separately when rayleigh_normalized=True
+        # (then _e_raw holds Rayleigh QUOTIENTS, which the residual-Dirichlet
+        # identity in the energy kernels cannot use — ADVICE r4).
+        self._e_un: Optional[jnp.ndarray] = kwargs.get("e_un")
         self._lap_f: jnp.ndarray = kwargs["lap_f"]        # [F, F] feature Lap.
         self._w_f: jnp.ndarray = kwargs["w_f"]            # [F, F] feature wts
         self._tau_star: jnp.ndarray = kwargs["tau_star"]  # scalar
@@ -110,6 +114,22 @@ class ArrowSpace:
         g = dispersion_batch(q, self._w_f, e_un)
         lam = synthesize(e_raw, g, self._tau_star, self._tau_mix)
         return float(lam[0])
+
+    def _energies_raw(self) -> jnp.ndarray:
+        """Per-item RAW Dirichlet energies x^T L_f x — what every energy
+        kernel's residual identity D(q,x) = e_q + e_x - 2 q^T L x needs.
+        With rayleigh_normalized=False this IS _e_raw; with True, _e_raw
+        holds normalized quotients, so the raw energies ride separately
+        (build/persist) or are recomputed once here (one [N,F]x[F,F]
+        matmul) for indexes saved before they were stored (ADVICE r4:
+        mixing a raw e_q with normalized item energies silently degrades
+        energy rankings)."""
+        if not self._rayleigh_normalized:
+            return self._e_raw
+        if self._e_un is None:
+            self._e_un = rayleigh_batch(self._data, self._lap_f,
+                                        normalized=False)
+        return self._e_un
 
     def _check_query(self, query) -> np.ndarray:
         v = np.asarray(query, dtype=np.float64).reshape(-1)
@@ -197,7 +217,8 @@ class ArrowSpace:
                                         np.asarray(vals_r[0]))]
             # Fewer valid candidates than k -> exact fallback below.
         idx, vals = search_ops.energy_topk(
-            self._data, self._lambdas, self._e_raw, self._lap_f, q[0],
+            self._data, self._lambdas, self._energies_raw(), self._lap_f,
+            q[0],
             lam_q[0], e_q[0], self._tau_star,
             jnp.asarray(w_l, dtype=self._data.dtype),
             jnp.asarray(w_d, dtype=self._data.dtype), k_eff)
@@ -243,7 +264,8 @@ class ArrowSpace:
             chunks = [(q[s:s + qc], lam_q[s:s + qc], e_q[s:s + qc])
                       for s in range(0, nq, qc)]
         outs = [search_ops.energy_routed_topk_batch(
-                    self._data, self._lambdas, self._e_raw, emaps.nodes,
+                    self._data, self._lambdas, self._energies_raw(),
+                    emaps.nodes,
                     emaps.node_lambda, emaps.node_dirichlet,
                     emaps.node_centroid, self._lap_f, self._tau_star,
                     buckets, tail, qs, lams, es,
@@ -519,14 +541,20 @@ class ArrowSpace:
         w_d = 0.5 if w_dirichlet is None else float(w_dirichlet)
         e_q = rayleigh_batch(q, self._lap_f, normalized=False)
         g_q = dispersion_batch(q, self._w_f, e_q)
-        lam_q = synthesize(e_q, g_q, self._tau_star, self._tau_mix)
+        # Query lambda from the same energy convention as the item lambdas
+        # (normalized quotients when the build used them); e_q itself stays
+        # RAW for the residual-Dirichlet term.
+        lam_q = synthesize(
+            e_q if not self._rayleigh_normalized
+            else rayleigh_batch(q, self._lap_f, normalized=True),
+            g_q, self._tau_star, self._tau_mix)
         k_eff = min(int(k), self.nitems)
         routed = self._search_energy_routed(q, lam_q, e_q, w_l, w_d, k_eff)
         if (routed is not None and routed[0].shape[1] >= k_eff
                 and np.all(np.asarray(routed[0][:, :k_eff]) >= 0)):
             return np.asarray(routed[0]), np.asarray(routed[1])
         idx, vals = search_ops.energy_topk_batch(
-            self._data, self._lambdas, self._e_raw, self._lap_f, q,
+            self._data, self._lambdas, self._energies_raw(), self._lap_f, q,
             lam_q, e_q, self._tau_star,
             jnp.asarray(w_l, dtype=self._data.dtype),
             jnp.asarray(w_d, dtype=self._data.dtype), k_eff)
@@ -685,7 +713,8 @@ class ArrowSpace:
         dtype = dtype or _jnp.bfloat16
         clone = ArrowSpace._from_build(
             data=self._data, data_unit=self._data_unit.astype(dtype),
-            lambdas=self._lambdas, e_raw=self._e_raw, lap_f=self._lap_f,
+            lambdas=self._lambdas, e_raw=self._e_raw, e_un=self._e_un,
+            lap_f=self._lap_f,
             w_f=self._w_f, tau_star=self._tau_star, params=self._params,
             rayleigh_normalized=self._rayleigh_normalized,
             tau_mix=self._tau_mix, centroids=self._centroids,

@@ -400,6 +400,7 @@ def _assemble_from_knn(stored, xu, d, i, gp: GraphParams,
 
     aspace = ArrowSpace._from_build(
         data=stored, data_unit=xu, lambdas=lambdas, e_raw=e_raw,
+        e_un=(e_un if config.rayleigh_normalized else None),
         lap_f=lap_f, w_f=w_f, tau_star=tau_star, params=gp,
         rayleigh_normalized=config.rayleigh_normalized, tau_mix=tau_mix,
         centroids=centroids, assignments=assignments,

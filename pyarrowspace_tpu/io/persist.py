@@ -54,6 +54,10 @@ def save_index(path: str, aspace: ArrowSpace, gl: GraphLaplacian) -> None:
         "manifest": np.frombuffer(
             json.dumps(manifest).encode("utf-8"), dtype=np.uint8),
     }
+    if aspace._rayleigh_normalized:
+        # e_raw above holds normalized Rayleigh quotients; the energy
+        # kernels also need the RAW x^T L x energies (ADVICE r4).
+        arrays["e_un"] = np.asarray(aspace._energies_raw())
     if aspace._centroids is not None:
         arrays["centroids"] = np.asarray(aspace._centroids)
         arrays["assignments"] = np.asarray(aspace._assignments)
@@ -99,6 +103,7 @@ def load_index(path: str) -> tuple[ArrowSpace, GraphLaplacian]:
     aspace = ArrowSpace._from_build(
         data=jnp.asarray(z["data"]), data_unit=jnp.asarray(z["data_unit"]),
         lambdas=jnp.asarray(z["lambdas"]), e_raw=jnp.asarray(z["e_raw"]),
+        e_un=jnp.asarray(z["e_un"]) if "e_un" in z else None,
         lap_f=jnp.asarray(z["lap_f"]), w_f=jnp.asarray(z["w_f"]),
         tau_star=jnp.asarray(z["tau_star"]), params=gp,
         rayleigh_normalized=manifest["rayleigh_normalized"],

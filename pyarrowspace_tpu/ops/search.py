@@ -371,7 +371,17 @@ def energy_topk(x: jnp.ndarray, lambdas: jnp.ndarray, e_raw: jnp.ndarray,
 
     e_raw/e_q are the RAW (unnormalized) Dirichlet energies x^T L_f x —
     the residual identity above requires the quadratic form, not the
-    Rayleigh quotient."""
+    Rayleigh quotient.
+
+    f32 precision floor (ADVICE r4): the expanded identity computes a
+    near-zero residual as the difference of large terms, so when q ~ x_i
+    and raw energies reach ~1e3-1e4 (CVE scale) the true D ~ 0 carries
+    ~e * 2^-24 absolute noise before the clamp — among the CLOSEST
+    candidates, D' resolves no finer than ~e*2^-24/tau* on TPU f32.
+    Ranking impact is confined to near-duplicate ties; the CPU suite
+    runs f64 end-to-end and sees none of it.  Deployments that need
+    exact near-tie energy ordering at scale should keep f64 inputs with
+    jax_enable_x64 (the kernels follow the input dtype)."""
     ts = jnp.maximum(tau_star, 1e-10)
     qL = jnp.matmul(lap_f, q, preferred_element_type=x.dtype)    # [F]
     cross = jnp.matmul(x, qL, preferred_element_type=x.dtype)    # [N]

@@ -342,13 +342,14 @@ def _sharded_lambdas(stored_pad, lap_f, w_f, *, n_real, mesh,
                 raise ValueError(f"unknown TauMode {synthesis}")
             tau_star = jnp.maximum(t, 1e-10)
         lam = synthesize(e, g, tau_star, tau_mix)
-        return lam, e, tau_star
+        return lam, e, e_un, tau_star
 
     # tau_star is computed identically on every shard from the all_gather'd
     # energies; the static checker can't infer that, hence check_vma=False.
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(DATA_AXIS), P(), P()),
-                   out_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+                   out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                              P()),
                    check_vma=False)
     return fn(stored_pad, lap_f, w_f)
 
@@ -380,19 +381,26 @@ def _sharded_search_fused(xu_pad, lambdas_pad, q, lap_f, w_f, tau_star, tau,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh", "tau_mix",
-                                             "n_real"))
+                                             "n_real",
+                                             "rayleigh_normalized"))
 def _sharded_search_energy(x_pad, lambdas_pad, e_pad, q, lap_f, w_f,
                            tau_star, w_l, w_d, *, k, mesh, tau_mix,
-                           n_real):
+                           n_real, rayleigh_normalized=False):
     """Sharded energy-only serving: shard-local residual-Dirichlet scoring
     (ops/search.energy_topk_batch semantics — the one energy formula on
     every path) + all_gather top-k merge.  The cross term is a local
-    [Q,F]x[F,n_loc] MXU matmul per shard; qL is replicated."""
+    [Q,F]x[F,n_loc] MXU matmul per shard; qL is replicated.  e_pad must
+    hold RAW x^T L x energies (the residual identity needs the quadratic
+    form); rayleigh_normalized only switches the query-LAMBDA synthesis
+    to the normalized convention the item lambdas were built with."""
 
     def body(xl, ll, el, qb, lap, wf, ts, wl, wd):
         e_q = rayleigh_batch(qb, lap, normalized=False)
         g_q = dispersion_batch(qb, wf, e_q)
-        lam_q = synthesize(e_q, g_q, ts, tau_mix)
+        lam_q = synthesize(
+            rayleigh_batch(qb, lap, normalized=True)
+            if rayleigh_normalized else e_q,
+            g_q, ts, tau_mix)
         tss = jnp.maximum(ts, 1e-10)
         n_loc = ll.shape[0]
         my = jax.lax.axis_index(DATA_AXIS)
@@ -617,12 +625,16 @@ class ShardedArrowSpace:
     def __init__(self, mesh: Mesh, xu_pad, stored_pad, lambdas_pad, e_pad,
                  lap_f, w_f, tau_star, params: GraphParams, n_real: int,
                  tau_mix: float = TAU_MIX, rayleigh_normalized: bool = False,
-                 centroids=None, assignments=None):
+                 centroids=None, assignments=None, e_un_pad=None):
         self.mesh = mesh
         self._xu_pad = xu_pad
         self._stored_pad = stored_pad
         self._lambdas_pad = lambdas_pad
         self._e_pad = e_pad
+        # RAW x^T L x energies when e_pad holds normalized quotients
+        # (rayleigh_normalized=True) — the energy kernels need raw
+        # (ADVICE r4); None means e_pad IS raw.
+        self._e_un_pad = e_un_pad
         self._lap_f = lap_f
         self._w_f = w_f
         self._tau_star = tau_star
@@ -662,7 +674,9 @@ class ShardedArrowSpace:
                    tau_mix=aspace._tau_mix,
                    rayleigh_normalized=aspace._rayleigh_normalized,
                    centroids=aspace._centroids,
-                   assignments=aspace._assignments)
+                   assignments=aspace._assignments,
+                   e_un_pad=(shard(aspace._energies_raw(), pad)
+                             if aspace._rayleigh_normalized else None))
 
     def to_local(self):
         """Materialize back to a single-chip ArrowSpace (gathers shards)."""
@@ -673,6 +687,8 @@ class ShardedArrowSpace:
             data_unit=jnp.asarray(np.asarray(self._xu_pad)[:n]),
             lambdas=jnp.asarray(np.asarray(self._lambdas_pad)[:n]),
             e_raw=jnp.asarray(np.asarray(self._e_pad)[:n]),
+            e_un=(jnp.asarray(np.asarray(self._e_un_pad)[:n])
+                  if self._e_un_pad is not None else None),
             lap_f=jnp.asarray(np.asarray(self._lap_f)),
             w_f=jnp.asarray(np.asarray(self._w_f)),
             tau_star=jnp.asarray(np.asarray(self._tau_star)),
@@ -878,9 +894,11 @@ class ShardedArrowSpace:
         w_d = 0.5 if w_dirichlet is None else float(w_dirichlet)
         k_eff = min(int(k), self._n_real)
         idx, vals = _sharded_search_energy(
-            self._stored_pad, self._lambdas_pad, self._e_pad, q,
-            self._lap_f, self._w_f, self._tau_star, w_l, w_d, k=k_eff,
-            mesh=self.mesh, tau_mix=self._tau_mix, n_real=self._n_real)
+            self._stored_pad, self._lambdas_pad,
+            self._e_un_pad if self._e_un_pad is not None else self._e_pad,
+            q, self._lap_f, self._w_f, self._tau_star, w_l, w_d, k=k_eff,
+            mesh=self.mesh, tau_mix=self._tau_mix, n_real=self._n_real,
+            rayleigh_normalized=self._rayleigh_normalized)
         return np.asarray(idx), np.asarray(vals)
 
 
@@ -1002,7 +1020,7 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
 
     tau_mix = TAU_MIX if config.tau_mix is None else config.tau_mix
     with phase("sharded_lambdas"):
-        lambdas_pad, e_pad, tau_star = _sharded_lambdas(
+        lambdas_pad, e_pad, e_un_pad, tau_star = _sharded_lambdas(
             stored_pad, lap_f, w_f, n_real=n, mesh=mesh,
             rayleigh_normalized=config.rayleigh_normalized,
             tau_mix=tau_mix, synthesis=gp.synthesis,
@@ -1013,5 +1031,8 @@ def build_sharded(items, gp: GraphParams, mesh: Optional[Mesh] = None,
     sspace = ShardedArrowSpace(mesh, xu_pad, stored_pad, lambdas_pad, e_pad,
                                lap_f, w_f, tau_star, gp, n, tau_mix,
                                rayleigh_normalized=config.rayleigh_normalized,
-                               centroids=centroids, assignments=assignments)
+                               centroids=centroids, assignments=assignments,
+                               e_un_pad=(e_un_pad
+                                         if config.rayleigh_normalized
+                                         else None))
     return sspace, gl
