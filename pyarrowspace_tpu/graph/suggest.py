@@ -206,9 +206,23 @@ def emit_build_suggestions(items, gp, out_dir: str,
     rec = suggest_graph_params(x)
     norms = np.linalg.norm(np.asarray(x[: min(4096, x.shape[0])]), axis=1)
     current = {"eps": gp.eps, "sigma": gp.sigma, "k": gp.k}
+    # Clustering-stage trace in the artifact header, like the reference's
+    # build-log lines (suggested_eps.md:6-10: sampler keep rate, TwoNN ID,
+    # "Testing K in range [a, b] with step 1").
+    from ..reduction.pipeline import SAMPLING_KEEP_RATE, k_search_range
+    n_keep = max(2, int(round(x.shape[0] * SAMPLING_KEEP_RATE)))
+    k_lo, k_hi = k_search_range(n_keep, rec["intrinsic_dim"], gp.eps)
+    trace = [
+        f"Simple random sampler with keep rate {SAMPLING_KEEP_RATE:.0%}",
+        "Auto-computing optimal clustering parameters",
+        f"Computing optimal K for clustering: N={x.shape[0]}, "
+        f"F={x.shape[1]}",
+        f"Intrinsic dimension estimate: {rec['intrinsic_dim']}",
+        f"Testing K in range [{k_lo}, {k_hi}] with step 1",
+    ]
     doc = format_suggestions_md(rec, current=current,
                                 avg_norm=float(norms.mean()),
-                                build_log=build_log)
+                                build_log=(build_log or []) + trace)
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "suggested_eps.md")
     with open(path, "w") as fh:

@@ -10,12 +10,14 @@ tests/output/1760705545_v0_16/suggested_eps.md:3-10 and SURVEY.md N10):
   3. auto-selection of a clustering K (log: "test K range [178, 179]"),
   4. K-means clustering -> centroid "signals" matrix.
 
-The engine crate is closed-source, so K selection is behavior-level: the
-observed K for N=313k was ~178; we use K = clamp(round(sqrt(N_kept)/2.5),
-16, 512), which reproduces that order of magnitude (434/2.5 ≈ 174 for the
-313k corpus at 60% keep).  All stages are jitted JAX on-device; K-means is
-Lloyd's with k-means++-style seeded init, fixed iteration count (static
-shapes for XLA).
+The engine crate is closed-source; K selection follows the OBSERVED
+mechanism: a rate estimate K = clamp(round(sqrt(N_kept)/2.5 * eps_factor),
+16, 512) seeds a two-candidate SEARCH [K, K+1] scored by a BIC-style
+clustering objective on a subsample (select_k_searched) — the reference
+logs exactly this shape ("Testing K in range [178, 179] with step 1";
+our estimate lands 177 for the 313k corpus at 60% keep, eps=1.31).  All
+stages are jitted JAX on-device; K-means is Lloyd's with k-means++-style
+seeded init, fixed iteration count (static shapes for XLA).
 """
 
 from __future__ import annotations
@@ -341,6 +343,72 @@ def select_k(n_sampled: int, intrinsic_dim: int,
     return int(np.clip(round(math.sqrt(n_sampled) / 2.5 * factor), 16, 512))
 
 
+def k_search_range(n_sampled: int, intrinsic_dim: int,
+                   eps_hint: float | None = None) -> tuple[int, int]:
+    """Candidate-K range for the optimal-K search, derived from the TwoNN
+    rate estimate: [base, base+1] — the reference engine's observed search
+    window is exactly two candidates wide ("Testing K in range [178, 179]
+    with step 1", reference tests/output/1760705545_v0_16/
+    suggested_eps.md:10)."""
+    base = select_k(n_sampled, intrinsic_dim, eps_hint)
+    return base, base + 1
+
+
+def _kmeans_bic(xs: jnp.ndarray, k: int, seed: int,
+                n_iters: int = 4) -> float:
+    """Cheap X-means-style BIC objective for one candidate K: spherical
+    log-likelihood of the Lloyd partition plus a parameter-count penalty.
+    Lower is better.  Runs on a subsample, so the search costs a few
+    small Lloyd passes — not a corpus-scale clustering per candidate."""
+    rng = np.random.default_rng(seed)
+    init = jnp.asarray(rng.choice(xs.shape[0], size=min(k, xs.shape[0]),
+                                  replace=False))
+    c, _ = _lloyd(xs, xs[init], n_iters)
+    _, d2 = _assign_argmin_dist(xs, c)
+    ns = xs.shape[0]
+    w = float(jnp.mean(d2))
+    return ns * math.log(max(w, 1e-12)) + 0.5 * k * math.log(ns)
+
+
+def select_k_searched(xs: jnp.ndarray, n_sampled: int, intrinsic_dim: int,
+                      eps_hint: float | None = None, seed: int = 42,
+                      max_points: int = 4096) -> int:
+    """Optimal-K SEARCH (reference N10 mechanism, VERDICT r4 #7): candidate
+    Ks from the TwoNN intrinsic-dimension rate, each EVALUATED by a cheap
+    clustering objective on a subsample, the winner logged — matching the
+    reference engine's observable behavior ("Computing optimal K for
+    clustering" -> "Testing K in range [a, b] with step 1", reference
+    tests/output/1760705545_v0_16/suggested_eps.md:7-10) instead of
+    returning the rate formula's value untested.  Deterministic for a
+    given (corpus, seed); ARROWSPACE_K_SEARCH=0 restores the closed-form
+    heuristic."""
+    import os as _os
+    lo, hi = k_search_range(n_sampled, intrinsic_dim, eps_hint)
+    lo = min(lo, xs.shape[0])
+    hi = min(hi, xs.shape[0])
+    if _os.environ.get("ARROWSPACE_K_SEARCH", "1") == "0" or hi <= lo:
+        return lo
+    rng = np.random.default_rng(seed)
+    if xs.shape[0] > max_points:
+        sub = xs[jnp.asarray(np.sort(rng.choice(xs.shape[0],
+                                                size=max_points,
+                                                replace=False)))]
+    else:
+        sub = xs
+    msg = f"reduction: testing K range [{lo}, {hi}] with step 1"
+    dbg_println(msg)
+    log_clustering.info(msg)
+    cands = list(range(lo, hi + 1))
+    scores = [_kmeans_bic(sub, kk, seed) for kk in cands]
+    k_opt = cands[int(np.argmin(scores))]
+    msg = (f"reduction: optimal K={k_opt} (BIC "
+           + ", ".join(f"K={kk}: {s:.1f}" for kk, s in zip(cands, scores))
+           + ")")
+    dbg_println(msg)
+    log_clustering.info(msg)
+    return k_opt
+
+
 def reduce_corpus(x: np.ndarray | jnp.ndarray, seed: int = 42,
                   keep_rate: float = SAMPLING_KEEP_RATE,
                   k_clusters: int | None = None,
@@ -366,7 +434,7 @@ def reduce_corpus(x: np.ndarray | jnp.ndarray, seed: int = 42,
     log_clustering.debug(msg)
 
     k = (k_clusters if k_clusters is not None
-         else select_k(n_keep, idim, eps_hint))
+         else select_k_searched(xs, n_keep, idim, eps_hint, seed=seed))
     k = min(k, n_keep)
     msg = f"reduction: clustering K={k}"
     dbg_println(msg)

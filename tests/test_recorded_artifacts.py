@@ -224,3 +224,30 @@ def test_rescore_pallas_ab_artifact():
     for r in rows:
         assert r["pallas_ms"] > r["xla_ms"], r
     assert d["results"]["correctness"]["bad_frac_n1007616_q16384_m15"] > 0.5
+
+
+def test_build_1m_artifact():
+    """FULL standard build at the 1M x 768 serving scale on real TPU
+    (VERDICT r4 #1): the chunked-symmetrize regime (n*k > 20M, F >= 512)
+    with phase split, graph census and the hub auto-widen outcome."""
+    data = json.loads(_latest("build_1m",
+                              "build_1m_results.json").read_text())
+    cfg = data["config"]
+    assert cfg["n"] >= 1_000_000 and cfg["f"] >= 768
+    assert cfg["backend"] in ("tpu", "axon")        # real-hardware evidence
+    assert cfg["knn_backend"] == "pallas"
+    assert 0 < data["value"] < 300                  # seconds, sane
+    ph = data["phases_s"]
+    for stage in ("knn", "symmetrize", "reduction", "lambdas"):
+        assert stage in ph, stage
+    assert abs(sum(ph.values()) - data["value"]) < 0.15 * data["value"]
+    g = data["graph"]
+    assert g["nnodes"] == cfg["n"]
+    # k=25 directed edges -> union graph lands in (N*k, 2*N*k).
+    k = cfg["graph_params"]["k"]
+    assert cfg["n"] * k * 0.5 < g["nedges"] <= cfg["n"] * k * 2
+    assert g["n_dropped"] == 0          # auto-widen kept the full union
+    assert g["ell_width"] >= 2 * k      # the widen actually fired
+    ls = data["lambda_stats"]
+    assert 0 < ls["min"] < ls["mean"] < ls["max"] < 1
+    assert ls["std"] > 1e-4             # lambdas not collapsed
