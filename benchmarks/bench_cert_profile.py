@@ -175,15 +175,21 @@ def main():
         "ms_per_batch": round(t_pull * 1e3, 2),
         "bytes": int(q_batch * topk * 8 + q_batch)}
 
-    # --- end-to-end certified serve (fused synthesis), sync vs stream -
+    # --- end-to-end certified serve (fused synthesis), sync vs stream,
+    # --- triple-pull vs packed-single-pull sync (pack_certified) -------
+    from pyarrowspace_tpu.ops.pallas.ivf_scan import unpack_certified
     from pyarrowspace_tpu.serving import CertifiedStream
-    for qb in (8, 16):
-        def dispatch(qd, qb=qb):
+    for qb, packed in ((8, False), (16, False), (16, True)):
+        def dispatch(qd, qb=qb, packed=packed):
             return blocked_ivf_search_fused(
                 ivf, qd, lap_f, w_f, ts, tau, topk, n_probe=n_probe,
-                tau_mix=TAU_MIX, certify=True, q_block=qb)
+                tau_mix=TAU_MIX, certify=True, q_block=qb,
+                pack_out=packed)
 
-        def finalize(_qd, out):
+        def finalize(_qd, out, packed=packed):
+            if packed:
+                i, v, c = unpack_certified(out, topk)
+                return i, v, float(c.mean())
             return (np.asarray(out[0]), np.asarray(out[1]),
                     float(np.asarray(out[2]).mean()))
 
@@ -200,11 +206,12 @@ def main():
             stream.submit(qd)
         outs_p = stream.finish()
         dt_pipe = (time.perf_counter() - t0) / reps
-        print(f"e2e certified qb={qb}: sync {q_batch / dt_sync:,.0f} QPS "
+        tag = f"e2e_qb{qb}" + ("_packed" if packed else "")
+        print(f"{tag}: sync {q_batch / dt_sync:,.0f} QPS "
               f"({dt_sync * 1e3:.1f} ms), pipelined "
               f"{q_batch / dt_pipe:,.0f} QPS ({dt_pipe * 1e3:.1f} ms), "
               f"cert {rate:.2%}", flush=True)
-        results["phases"][f"e2e_qb{qb}"] = {
+        results["phases"][tag] = {
             "sync_qps": round(q_batch / dt_sync, 1),
             "sync_ms": round(dt_sync * 1e3, 2),
             "pipelined_qps": round(q_batch / dt_pipe, 1),

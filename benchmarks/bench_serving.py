@@ -325,18 +325,19 @@ def main():
                               q_batch // 4, q_batch})
 
             from pyarrowspace_tpu.ops.pallas.ivf_scan import (
-                escalate_uncertified, widen_refusals)
+                escalate_uncertified, unpack_certified, widen_refusals)
             n_clusters = int(ivf_b.slab_lambdas.shape[0] // ivf_b.cap)
             n_probe_max = min(n_clusters, n // max(1, 2 * ivf_b.cap),
                               n_probe << 2)
 
             def dispatch_certified(qb_):
-                # ASYNC: the fused certify program returns device arrays;
-                # nothing blocks until the certificate sync in finalize.
+                # ASYNC: the fused certify program returns ONE packed
+                # device array (pack_certified); nothing blocks until the
+                # single-pull certificate sync in finalize.
                 return blocked_ivf_search_fused(
                     ivf_b, qb_, lap_f, w_f, ts, tau, topk,
                     n_probe=n_probe, tau_mix=TAU_MIX, certify=True,
-                    q_block=q_blk, **cert_kw)
+                    q_block=q_blk, pack_out=True, **cert_kw)
 
             def finalize_certified(qb_, out):
                 # Same escalation semantics as search_batch
@@ -346,7 +347,8 @@ def main():
                 # certification the exact stage almost never fires, and
                 # even a 33-query exact escalation streams the whole 3 GB
                 # corpus (~150 ms/batch measured, 308k -> 66k QPS).
-                cert0 = float(np.asarray(out[2]).mean())
+                idx0, vals0, cert_b = unpack_certified(out, topk)
+                cert0 = float(cert_b.mean())
 
                 def run_cert(sel, np2):
                     # Widening scales the rescore pool with the probe
@@ -362,7 +364,7 @@ def main():
                             np.asarray(o2[2]))
 
                 idx_c, vals_c, cert = widen_refusals(
-                    out[0], out[1], np.asarray(out[2]), run_cert, topk,
+                    idx0, vals0, cert_b, run_cert, topk,
                     n_probe, n_probe_max)
 
                 def run_exact(sel):

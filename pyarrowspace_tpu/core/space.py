@@ -24,6 +24,9 @@ from ..ops.distance import unit_normalize
 from ..ops.rayleigh import rayleigh_batch, dispersion_batch
 from ..spectral.taumode import synthesize
 from ..utils.debug import dbg_println
+from ..utils.logging import get_logger
+
+log = get_logger("serving")
 
 _BUILDER_TOKEN = object()
 
@@ -374,9 +377,12 @@ class ArrowSpace:
         return self._ivf_blocked
 
     def _ivf_block_dispatch(self, q, tau: float, topk: int, n_probe: int,
-                            certify: bool, m_pool):
+                            certify: bool, m_pool, q_block=None,
+                            pack_out: bool = False):
         """ASYNC blocked-IVF dispatch (device-resident outputs): the fused
-        synthesis + routing + scan (+ certificate) program."""
+        synthesis + routing + scan (+ certificate) program.  pack_out
+        (certify only) returns ONE packed array so the certificate sync
+        is a single host pull (pack_certified)."""
         from ..ops.pallas.ivf_scan import blocked_ivf_search_fused
 
         ivf = self._ensure_ivf_blocked()
@@ -389,11 +395,14 @@ class ArrowSpace:
                 rescore_lambdas=self._lambdas.astype(jnp.float32))
         return blocked_ivf_search_fused(
             ivf, q, self._lap_f, self._w_f, self._tau_star, tau, topk,
-            n_probe=n_probe, rayleigh_normalized=self._rayleigh_normalized,
-            tau_mix=self._tau_mix, certify=certify, m_pool=m_pool, **kw)
+            n_probe=n_probe, q_block=q_block,
+            rayleigh_normalized=self._rayleigh_normalized,
+            tau_mix=self._tau_mix, certify=certify, m_pool=m_pool,
+            pack_out=pack_out and certify, **kw)
 
     def _certified_finalize(self, queries_np, out, gl, tau, topk_eff: int,
-                            n_probe: int, n_widen: int, base_m: int):
+                            n_probe: int, n_widen: int, base_m: int,
+                            q_block=None):
         """Widen + escalate a certified ivf_block result to exact results
         (shared by search_batch(mode="certified") and serving_stream so
         the escalation semantics cannot drift).  Returns (idx, vals,
@@ -418,11 +427,17 @@ class ArrowSpace:
         keep widening: a probe round is IVF-cost, far cheaper per query
         than the full exact scan."""
         from ..ops.pallas.ivf_scan import (escalate_uncertified,
+                                           unpack_certified,
                                            widen_refusals)
 
-        idx = np.asarray(out[0])
-        vals = np.asarray(out[1])
-        cert = np.asarray(out[2]).astype(bool)
+        if isinstance(out, tuple):
+            idx = np.asarray(out[0])
+            vals = np.asarray(out[1])
+            cert = np.asarray(out[2]).astype(bool)
+        else:
+            # Packed dispatch (pack_certified): ONE host pull is the
+            # whole certificate sync.
+            idx, vals, cert = unpack_certified(out, topk_eff)
         rate0 = float(cert.mean()) if cert.size else 1.0
         if rate0 >= _WIDEN_MIN_CERT_RATE:
             ivf = self._ivf_blocked
@@ -435,7 +450,8 @@ class ArrowSpace:
                 lambda sel, np2: self.search_batch(
                     queries_np[sel], gl, tau, topk=topk_eff,
                     mode="ivf_block", n_probe=np2, certify=True,
-                    m_pool=base_m * max(1, np2 // n_probe)),
+                    m_pool=base_m * max(1, np2 // n_probe),
+                    q_block=q_block),
                 topk_eff, n_probe, n_probe_max)
         idx, vals = escalate_uncertified(
             idx, vals, cert,
@@ -444,12 +460,29 @@ class ArrowSpace:
             topk_eff)
         return idx, vals, rate0
 
+    def _warn_volatile_nprobe(self, n_probe: int):
+        """Loud volatility warning (VERDICT r4 #4): at large N, certified
+        serving with a shallow probe list is seed/batch VOLATILE — one bad
+        clustering-seed/batch mix at 1M x 768 measured np=4 base
+        certification ~0 on some batches, so widening fired on every
+        batch and throughput collapsed 4.8k QPS vs ~70k (CLAUDE.md
+        round-3 measurement; multi-seed floor recorded in
+        benchmarks/recorded *cert_seeds).  Results stay exact either way
+        (the guardrail reroutes); the warning is about throughput."""
+        if n_probe <= 4 and self.nitems >= 262_144:
+            log.warning(
+                "certified serving with n_probe=%d at N=%d is throughput-"
+                "volatile (measured collapse to 4.8k QPS at 1M x 768 on a "
+                "bad seed/batch mix — widening re-probes every batch); "
+                "deploy n_probe>=8", n_probe, self.nitems)
+
     def serving_stream(self, gl: GraphLaplacian, tau: float,
                        topk: Optional[int] = None, n_probe: int = 8,
                        n_widen: int = 2, m_pool: Optional[int] = None,
                        depth: int = 4, cert_floor: float = 0.35,
                        floor_patience: int = 2,
-                       fallback_mode: str = "auto"):
+                       fallback_mode: str = "auto",
+                       q_block: Optional[int] = None):
         """Pipelined certified serving for batch STREAMS (the production
         serving shape): returns a `serving.CertifiedStream` whose
         `submit(queries)` keeps up to `depth` certified dispatches in
@@ -472,6 +505,7 @@ class ArrowSpace:
                        self.nitems)
         base_m = (m_pool if m_pool is not None
                   else max(4 * topk_eff, topk_eff + 6))
+        self._warn_volatile_nprobe(n_probe)
         self._ensure_ivf_blocked()
 
         def dispatch(queries):
@@ -480,13 +514,14 @@ class ArrowSpace:
                 raise ValueError(f"queries must be [Q, {self.nfeatures}], "
                                  f"got {q.shape}")
             return (np.asarray(queries), self._ivf_block_dispatch(
-                q, float(tau), topk_eff, n_probe, True, base_m))
+                q, float(tau), topk_eff, n_probe, True, base_m,
+                q_block=q_block, pack_out=True))
 
         def finalize(_queries, boxed):
             queries_np, out = boxed
             return self._certified_finalize(
                 queries_np, out, gl, tau, topk_eff, n_probe, n_widen,
-                base_m)
+                base_m, q_block=q_block)
 
         fb = fb_fin = None
         if fallback_mode is not None:
@@ -563,7 +598,8 @@ class ArrowSpace:
     def search_batch(self, queries, gl: GraphLaplacian, tau: float,
                      topk: Optional[int] = None, mode: str = "exact",
                      n_probe: int = 8, certify: bool = False,
-                     n_widen: int = 2, m_pool: Optional[int] = None):
+                     n_widen: int = 2, m_pool: Optional[int] = None,
+                     q_block: Optional[int] = None):
         """Batched lambda-aware search: queries [Q, F] ->
         (indices [Q, topk] np.int32, scores [Q, topk] np.float32/64).
         The high-QPS serving path (BASELINE.json north-star).
@@ -608,7 +644,14 @@ class ArrowSpace:
         bool [Q]: True means the served top-k PROVABLY equals the exact
         blended-scan top-k (no unprobed cluster's centroid-radius +
         lambda-interval upper bound beats the served kth score) — re-run
-        refused queries with a higher n_probe or mode="exact"."""
+        refused queries with a higher n_probe or mode="exact".
+
+        q_block (ivf_block/certified): queries per shared probe list.
+        None -> 16, the large-batch serving default (measured 2026-08-19
+        at 1M x 768: 100% certified on tightened clusters, +18%
+        pipelined QPS vs 8 — recorded 1787159703_cert_profile).  Pass 8
+        for SMALL or topically diverse batches, where 16 queries rarely
+        agree on n_probe clusters and certification refuses more."""
         if certify and mode != "ivf_block":
             raise ValueError("certify=True requires mode='ivf_block'")
         if mode not in ("auto", "exact", "int8", "subtile", "ivf",
@@ -617,6 +660,7 @@ class ArrowSpace:
                              "'auto', 'exact', 'int8', 'subtile', 'ivf', "
                              "'ivf_block', or 'certified'")
         if mode == "certified":
+            self._warn_volatile_nprobe(n_probe)
             queries_np = np.asarray(queries)
             topk_eff = min(gl.params.topk if topk is None else int(topk),
                            self.nitems)
@@ -624,10 +668,11 @@ class ArrowSpace:
                       else max(4 * topk_eff, topk_eff + 6))
             out = self.search_batch(
                 queries_np, gl, tau, topk=topk_eff, mode="ivf_block",
-                n_probe=n_probe, certify=True, m_pool=base_m)
+                n_probe=n_probe, certify=True, m_pool=base_m,
+                q_block=q_block)
             idx, vals, _rate = self._certified_finalize(
                 queries_np, out, gl, tau, topk_eff, n_probe, n_widen,
-                base_m)
+                base_m, q_block=q_block)
             return idx, vals
         if mode == "auto":
             mode = "subtile" if self.nitems >= 131_072 else "exact"
@@ -679,10 +724,14 @@ class ArrowSpace:
                 # per-op dispatch costs a host round trip each on tunneled
                 # runtimes.
                 out = self._ivf_block_dispatch(q, float(tau), topk,
-                                               n_probe, certify, m_pool)
+                                               n_probe, certify, m_pool,
+                                               q_block=q_block,
+                                               pack_out=certify)
                 if certify:
-                    return (np.asarray(out[0]), np.asarray(out[1]),
-                            np.asarray(out[2]))
+                    # ONE pull: idx/vals/cert ride a single packed array
+                    # (each pull is a full RPC on tunneled runtimes).
+                    from ..ops.pallas.ivf_scan import unpack_certified
+                    return unpack_certified(out, topk)
                 return np.asarray(out[0]), np.asarray(out[1])
             e_un = rayleigh_batch(q, self._lap_f, normalized=False)
             e_raw = (rayleigh_batch(q, self._lap_f, normalized=True)

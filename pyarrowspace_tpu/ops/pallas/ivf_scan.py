@@ -605,6 +605,39 @@ def _blocked_ivf_cert_rescored_jit(centroids_unit, slabs, slab_lambdas,
     return idx_k[inv[:q]], vals[inv[:q]], cert_sorted[inv[:q]]
 
 
+def pack_certified(idx, vals, cert):
+    """Pack a certified result (idx i32, vals f32, cert bool) into ONE
+    [Q, 2*topk + 1] f32 device array (idx bitcast, cert as 0/1) so the
+    certificate sync is a SINGLE host pull.  On tunneled runtimes each
+    device->host pull is a latency-dominated RPC (measured 2026-08-19: a
+    fresh 2 MB pull ~97 ms, nearly flat in size), so pulling idx/vals/
+    cert separately puts a ~3-RPC floor under every synchronous certified
+    batch regardless of device speed.  Applied INSIDE the fused serve
+    program (blocked_ivf_search_fused(pack_out=True)) — zero extra
+    dispatches."""
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.float32),
+        vals.astype(jnp.float32),
+        cert.astype(jnp.float32)[:, None]], axis=1)
+
+
+def unpack_certified(packed: np.ndarray, topk: int):
+    """Host-side inverse of pack_certified: one pulled [Q, 2*k+1] f32
+    array -> (idx [Q,k] i32, vals [Q,k] f32, cert [Q] bool).  k is read
+    from the array width, NOT from `topk`: the kernel clamps the served
+    width to cap * n_probe (blocked_ivf_search_fused), so the packed
+    width is authoritative; `topk` only bounds it."""
+    packed = np.asarray(packed)
+    k = (packed.shape[1] - 1) // 2
+    if k > topk:
+        raise ValueError(f"packed width {packed.shape[1]} implies k={k} "
+                         f"> requested topk={topk}")
+    idx = packed[:, :k].view(np.int32)
+    vals = packed[:, k:2 * k]
+    cert = packed[:, 2 * k] > 0.5
+    return idx, vals, cert
+
+
 def q_block_for(q: int, q_block: int = 16) -> int:
     """Routing-sweep default query-block clamp (shared with the sharded
     mode so the two paths cannot drift)."""
@@ -662,12 +695,15 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
     q, _f = qn.shape
     n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
     n_probe = max(1, min(n_probe, n_clusters))
-    # q_block=None: certified serving defaults to narrower blocks (the
-    # certificate is per-query but probes are block-shared); an explicit
-    # q_block always wins — with tight (lloyd_tighten) clusters qb=16
-    # certifies equally and halves the probe-DMA grid.
-    qb = q_block_for(q, (8 if certify else 16) if q_block is None
-                     else q_block)
+    # q_block=None -> 16 for every mode, certified included: with
+    # lloyd_tighten'ed clusters qb=16 certifies identically to qb=8
+    # (measured 2026-08-19 at 1M x 768 np=8: 100% cert at BOTH, scan
+    # 78 vs 93 ms/batch of 16384, e2e pipelined 94.7k vs 80.2k QPS —
+    # recorded 1787159703_cert_profile) while halving the probe-DMA
+    # grid.  The old qb=8 certified default predates cluster tightening
+    # (round-3: 0.49 -> 0.90 cert on UNtightened clusters); pass
+    # q_block=8 explicitly for untightened layouts.
+    qb = q_block_for(q, 16 if q_block is None else q_block)
     k = max(1, min(topk, ivf.cap * n_probe))
     args = (ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
             jnp.asarray(qn, dtype=jnp.float32),
@@ -708,12 +744,13 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "qb", "q", "cap", "n_probe", "interpret", "rayleigh_normalized",
-    "tau_mix", "certify", "use_bound"))
+    "tau_mix", "certify", "use_bound", "pack_out"))
 def _blocked_ivf_serve_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
                            q_raw, lap_f, w_f, tau_star, tau, radii, lam_lo,
                            lam_hi, nonempty, margin, *, k, qb, q,
                            cap, n_probe, interpret, rayleigh_normalized,
-                           tau_mix, certify, use_bound=False):
+                           tau_mix, certify, use_bound=False,
+                           pack_out=False):
     from ...ops.distance import unit_normalize
     from ...ops.rayleigh import dispersion_batch, rayleigh_batch
     from ...spectral.taumode import synthesize
@@ -725,10 +762,11 @@ def _blocked_ivf_serve_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
     lam_q = synthesize(e, g, tau_star, tau_mix).astype(jnp.float32)
     qn = unit_normalize(q_raw.astype(jnp.float32))
     if certify:
-        return _blocked_ivf_cert_jit(
+        out = _blocked_ivf_cert_jit(
             centroids_unit, slabs, slab_lambdas, slab_ids, qn, lam_q, tau,
             radii, lam_lo, lam_hi, nonempty, margin, k=k, qb=qb, q=q,
             cap=cap, n_probe=n_probe, interpret=interpret)
+        return pack_certified(*out) if pack_out else out
     return _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
                             qn, lam_q, tau, radii, lam_lo, lam_hi,
                             nonempty, k=k, qb=qb, q=q, cap=cap,
@@ -738,14 +776,15 @@ def _blocked_ivf_serve_jit(centroids_unit, slabs, slab_lambdas, slab_ids,
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "m_pool", "qb", "q", "cap", "n_probe", "interpret",
-    "rayleigh_normalized", "tau_mix"))
+    "rayleigh_normalized", "tau_mix", "pack_out"))
 def _blocked_ivf_serve_rescored_jit(centroids_unit, slabs, slab_lambdas,
                                     slab_ids, xu_f32, lambdas_f32, q_raw,
                                     lap_f, w_f, tau_star, tau, radii,
                                     lam_lo, lam_hi, nonempty, res_eps,
                                     margin, *, k, m_pool, qb, q, cap,
                                     n_probe, interpret,
-                                    rayleigh_normalized, tau_mix):
+                                    rayleigh_normalized, tau_mix,
+                                    pack_out=False):
     """ONE-dispatch certified serving over reduced-precision slabs:
     query-lambda synthesis + routing + pooled scan + f32 rescore +
     precision-robust certificate (_blocked_ivf_cert_rescored_jit)."""
@@ -759,11 +798,12 @@ def _blocked_ivf_serve_rescored_jit(centroids_unit, slabs, slab_lambdas,
     g = dispersion_batch(q_raw, w_f, e_un)
     lam_q = synthesize(e, g, tau_star, tau_mix).astype(jnp.float32)
     qn = unit_normalize(q_raw.astype(jnp.float32))
-    return _blocked_ivf_cert_rescored_jit(
+    out = _blocked_ivf_cert_rescored_jit(
         centroids_unit, slabs, slab_lambdas, slab_ids, xu_f32,
         lambdas_f32, qn, lam_q, tau, radii, lam_lo, lam_hi, nonempty,
         res_eps, margin, k=k, m_pool=m_pool, qb=qb, q=q, cap=cap,
         n_probe=n_probe, interpret=interpret)
+    return pack_certified(*out) if pack_out else out
 
 
 def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
@@ -774,11 +814,19 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
                              interpret: bool | None = None,
                              certify: bool = False, margin: float = 0.0,
                              rescore_corpus=None, rescore_lambdas=None,
-                             m_pool: int | None = None):
+                             m_pool: int | None = None,
+                             pack_out: bool = False):
     """ONE-dispatch blocked-IVF serving: query-lambda synthesis + routing
     + Pallas scan in a single compiled program (eager per-op dispatch
     costs a host round trip each on tunneled runtimes — same rationale as
-    ops/search.fused_query_pipeline)."""
+    ops/search.fused_query_pipeline).
+
+    pack_out=True (certify only): return ONE packed [Q, 2*topk+1] f32
+    array (pack_certified) instead of the (idx, vals, cert) triple, so
+    the caller's certificate sync is a single device->host pull — each
+    pull is a latency-dominated RPC on tunneled runtimes (~100 ms
+    measured 2026-08-19), so the triple costs ~2 extra RPCs per batch.
+    Decode with unpack_certified(pulled, topk)."""
     from ...spectral.taumode import TAU_MIX
 
     if interpret is None:
@@ -786,16 +834,13 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
     q, _f = queries.shape
     n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
     n_probe = max(1, min(n_probe, n_clusters))
-    # Certified serving defaults to smaller query blocks: the certificate
-    # is per-query but probes are block-shared, so a narrower block's
-    # bound-ordered probe list covers each member's violators better
-    # (measured 0.49 -> 0.90 certification at equal n_probe).
-    # q_block=None: certified serving defaults to narrower blocks (the
-    # certificate is per-query but probes are block-shared); an explicit
-    # q_block always wins — with tight (lloyd_tighten) clusters qb=16
-    # certifies equally and halves the probe-DMA grid.
-    qb = q_block_for(q, (8 if certify else 16) if q_block is None
-                     else q_block)
+    # q_block=None -> 16 for every mode, certified included (see
+    # blocked_ivf_search: measured 2026-08-19 at 1M x 768, 100% cert at
+    # qb=16 on tightened clusters, e2e pipelined +18% vs qb=8 —
+    # recorded 1787159703_cert_profile).  The narrow-block rule of
+    # round 3 (0.49 -> 0.90 cert at qb=8) applied to UNtightened
+    # clusters; pass q_block=8 explicitly for those.
+    qb = q_block_for(q, 16 if q_block is None else q_block)
     k = max(1, min(topk, ivf.cap * n_probe))
     if certify and ivf.radii is None:
         raise ValueError("certify=True needs an index built with "
@@ -821,7 +866,8 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
             _res_eps_vector(ivf), jnp.float32(margin), k=k, m_pool=mp,
             qb=qb, q=q, cap=ivf.cap, n_probe=n_probe, interpret=interpret,
             rayleigh_normalized=rayleigh_normalized,
-            tau_mix=TAU_MIX if tau_mix is None else float(tau_mix))
+            tau_mix=TAU_MIX if tau_mix is None else float(tau_mix),
+            pack_out=pack_out)
     zero_k = jnp.zeros((n_clusters,), dtype=jnp.float32)
     have_bound = ivf.radii is not None
     return _blocked_ivf_serve_jit(
@@ -839,7 +885,8 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
         n_probe=n_probe, interpret=interpret,
         rayleigh_normalized=rayleigh_normalized,
         tau_mix=TAU_MIX if tau_mix is None else float(tau_mix),
-        certify=certify, use_bound=have_bound)
+        certify=certify, use_bound=have_bound,
+        pack_out=pack_out and certify)
 
 
 def widen_refusals(idx, vals, cert, run_certified, topk: int,

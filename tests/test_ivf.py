@@ -469,9 +469,14 @@ def test_certified_mode_widening_integration(built, monkeypatch):
         items[rng.choice(2000, 12, replace=False)] * 1.02,
         rng.normal(size=(4, 32))])
 
+    # q_block=8: 16 topically-diverse queries sharing ONE 16-wide probe
+    # block certify below the widening guardrail (the qb=16 default is
+    # calibrated for large coherent serving batches — see search_batch
+    # docstring); narrow blocks keep this toy batch in the widening
+    # regime the test exercises.
     _, _, cert_raw = aspace.search_batch(queries, gl, 0.62,
                                          mode="ivf_block", n_probe=3,
-                                         certify=True)
+                                         certify=True, q_block=8)
     seen = {}
     orig_esc = ivf_mod.escalate_uncertified
     orig_widen = ivf_mod.widen_refusals
@@ -490,7 +495,7 @@ def test_certified_mode_widening_integration(built, monkeypatch):
     monkeypatch.setattr(ivf_mod, "widen_refusals", spy_widen)
 
     ci, cv = aspace.search_batch(queries, gl, 0.62, mode="certified",
-                                 n_probe=3, n_widen=4)
+                                 n_probe=3, n_widen=4, q_block=8)
     ei, ev = aspace.search_batch(queries, gl, 0.62, mode="exact")
     for r in range(len(queries)):
         assert set(ci[r].tolist()) == set(ei[r].tolist()), r

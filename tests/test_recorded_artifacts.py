@@ -251,3 +251,63 @@ def test_build_1m_artifact():
     ls = data["lambda_stats"]
     assert 0 < ls["min"] < ls["mean"] < ls["max"] < 1
     assert ls["std"] > 1e-4             # lambdas not collapsed
+
+
+def test_serving_real_index_artifact():
+    """Serving from the REAL 1M x 768 built index (VERDICT r4 #1: the
+    flagship serving numbers must rest on an index whose build path ran
+    at scale, not synthesized state): certified stays exact (100%
+    certified) and ivf_block keeps its overlap on the real lambdas."""
+    data = json.loads(_latest("serving_real_index",
+                              "serving_results.json").read_text())
+    cfg = data["config"]
+    assert cfg["n"] >= 1_000_000 and cfg["f"] >= 768
+    assert cfg["index"], "must serve from a saved real index"
+    assert cfg["backend"] in ("tpu", "axon")
+    ivf = next(v for k, v in data["modes"].items()
+               if k.startswith("ivf_block_f32"))
+    assert ivf["top10_overlap_vs_exact"] >= 0.99
+    cert = next(v for k, v in data["modes"].items()
+                if k.startswith("certified"))
+    assert cert["certified_rate"] == 1.0
+    assert cert["qps"] >= 50_000            # real-index serving floor
+    assert cert["sync_qps"] > 0
+
+
+def test_cert_profile_artifact():
+    """Certified-serving phase profile at 1M x 768 (VERDICT r4 #2): the
+    recorded decomposition behind the qb=16 certified default and the
+    host-sync findings."""
+    data = json.loads(_latest("cert_profile",
+                              "cert_profile.json").read_text())
+    cfg = data["config"]
+    assert cfg["n"] >= 1_000_000 and cfg["f"] >= 768
+    assert cfg["backend"] in ("tpu", "axon")
+    ph = data["phases"]
+    # qb=16 must certify as fully as qb=8 on tightened clusters (the
+    # basis of the default change) and not scan slower.
+    assert ph["scan+cert_qb16"]["cert_rate"] == 1.0
+    assert ph["scan+cert_qb8"]["cert_rate"] == 1.0
+    assert (ph["scan_qb16"]["ms_per_batch"]
+            <= ph["scan_qb8"]["ms_per_batch"] * 1.05)
+    assert (ph["e2e_qb16"]["pipelined_qps"]
+            >= ph["e2e_qb8"]["pipelined_qps"])
+    # The host result pull is a real, measured cost (sync-mode tax).
+    assert ph["result_pull"]["ms_per_batch"] > 1.0
+
+
+def test_knn_bf16_ab_artifact():
+    """bf16 k-NN first pass A/B (VERDICT r4 #3): measured 1.44x — the
+    kernel is EXTRACTION-bound, not MXU-bound (solving t = t_mxu + t_vpu
+    from the f32/bf16 pair puts the exact top-k merge at ~60% of the
+    pass), so the certify-then-escalate bf16 pipeline's ceiling is
+    ~1.4x before its own rescore/escalation costs — recorded as the
+    measured basis for NOT building it (unstructured corpora would
+    additionally mass-escalate on tiny kth gaps)."""
+    data = json.loads(_latest("knn_bf16_ab",
+                              "knn_bf16_ab.json").read_text())
+    assert data["config"]["backend"] in ("tpu", "axon")
+    assert data["config"]["n"] >= 262_144 and data["config"]["f"] >= 768
+    assert 1.0 <= data["speedup_bf16"] <= 2.0     # NOT the 4x MXU ratio
+    assert data["modes"]["f32"]["tf_per_s"] > 20  # sane f32 throughput
+    assert data["neighbor_overlap_sampled"] >= 0.99

@@ -149,3 +149,33 @@ def test_widening_skipped_on_certificate_collapse(built, monkeypatch):
     ei, _ = aspace.search_batch(queries, gl, 0.62, mode="exact")
     for r in range(len(queries)):
         assert set(ci[r].tolist()) == set(ei[r].tolist()), r
+
+
+def test_volatile_nprobe_warning(monkeypatch):
+    """VERDICT r4 #4: shallow probe lists at large N warn loudly about
+    throughput volatility (measured np=4 collapse at 1M x 768); results
+    stay exact, so it is a warning, not an error."""
+    import logging
+
+    import numpy as np
+
+    from pyarrowspace_tpu.core.space import ArrowSpace
+
+    class _Stub(ArrowSpace):
+        def __init__(self):   # bypass builder token for the unit probe
+            pass
+
+        @property
+        def nitems(self):
+            return 1_000_000
+
+    records = []
+    monkeypatch.setattr(
+        logging.getLogger("arrowspace.serving"), "warning",
+        lambda msg, *a, **k: records.append(msg % a if a else msg))
+    stub = _Stub()
+    stub._warn_volatile_nprobe(4)
+    assert records and "n_probe>=8" in records[0]
+    records.clear()
+    stub._warn_volatile_nprobe(8)          # deep probes: silent
+    assert not records
