@@ -439,8 +439,8 @@ def _blocked_ivf_jit(centroids_unit, slabs, slab_lambdas, slab_ids, qn32,
     use_bound=True routes by the blended-score upper bound (radius +
     lambda-interval state) instead of cosine demand votes: the blend's
     lambda-proximity term pulls relevant items from clusters a pure-cosine
-    router never probes (measured on a 40-component mixture: 0.84 -> 1.00
-    top-10 overlap at equal n_probe)."""
+    router never probes (measured 2026-08-17 round 3 on a 40-component
+    mixture: 0.84 -> 1.00 top-10 overlap at equal n_probe)."""
     bound_state = ((radii, lam_lo, lam_hi, nonempty) if use_bound
                    else None)
     i, s, inv, _, _, _, _ = _route_scan_core(
@@ -659,8 +659,9 @@ def cert_pool_width(m_pool: int | None, topk: int, served_max: int) -> int:
     """Scan pool width for the rescored (reduced-precision) certificate.
     Default 4*topk: condition (B) needs the pool_min scan score to sit
     tau*eps below the rescored kth, and the kth-vs-pool_min gap grows
-    with the pool (measured on mixture geometry: p10 gap 0.0013 at
-    m=2k vs 0.0051 at m=6.4k for k=10) at ~linear rescore-gather cost.
+    with the pool (measured 2026-08-18 round 4 on mixture geometry: p10
+    gap 0.0013 at m=2k vs 0.0051 at m=6.4k for k=10) at ~linear
+    rescore-gather cost.
     Clamped to the served width cap * n_probe (a narrower served width
     refuses via widening)."""
     mp = max(4 * topk, topk + 6) if m_pool is None else int(m_pool)

@@ -304,10 +304,25 @@ def test_knn_bf16_ab_artifact():
     ~1.4x before its own rescore/escalation costs — recorded as the
     measured basis for NOT building it (unstructured corpora would
     additionally mass-escalate on tiny kth gaps)."""
-    data = json.loads(_latest("knn_bf16_ab",
+    data = json.loads(_latest("knn_dtype_ab",
                               "knn_bf16_ab.json").read_text())
     assert data["config"]["backend"] in ("tpu", "axon")
     assert data["config"]["n"] >= 262_144 and data["config"]["f"] >= 768
     assert 1.0 <= data["speedup_bf16"] <= 2.0     # NOT the 4x MXU ratio
     assert data["modes"]["f32"]["tf_per_s"] > 20  # sane f32 throughput
     assert data["neighbor_overlap_sampled"] >= 0.99
+
+
+def test_cert_seeds_artifact():
+    """Multi-seed cert-rate floor at realistic scale (VERDICT r4 #4):
+    >= 262k x 768 on real TPU, clustering seed swept, np in {4, 8}."""
+    data = json.loads(_latest("cert_seeds", "cert_seeds.json").read_text())
+    cfg = data["config"]
+    assert cfg["n"] >= 262_144 and cfg["f"] >= 768
+    assert cfg["backend"] in ("tpu", "axon")
+    assert len(data["seeds"]) >= 5
+    # The floor evidence: np=8 base rate holds across every seed; np=4
+    # stays above the widening guardrail and one widen round recovers.
+    assert data["np8_floor"]["base_min"] >= 0.99
+    assert data["np4_floor"]["base_min"] >= 0.25   # never collapses here
+    assert data["np4_floor"]["widened_min"] >= 0.99
