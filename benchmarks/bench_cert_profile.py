@@ -179,12 +179,16 @@ def main():
     # --- triple-pull vs packed-single-pull sync (pack_certified) -------
     from pyarrowspace_tpu.ops.pallas.ivf_scan import unpack_certified
     from pyarrowspace_tpu.serving import CertifiedStream
-    for qb, packed in ((8, False), (16, False), (16, True)):
-        def dispatch(qd, qb=qb, packed=packed):
-            return blocked_ivf_search_fused(
+    for qb, packed, d2h in ((8, False, False), (16, False, False),
+                            (16, True, False), (16, True, True)):
+        def dispatch(qd, qb=qb, packed=packed, d2h=d2h):
+            out = blocked_ivf_search_fused(
                 ivf, qd, lap_f, w_f, ts, tau, topk, n_probe=n_probe,
                 tau_mix=TAU_MIX, certify=True, q_block=qb,
                 pack_out=packed)
+            if d2h and hasattr(out, "copy_to_host_async"):
+                out.copy_to_host_async()   # prefetch the packed result
+            return out
 
         def finalize(_qd, out, packed=packed):
             if packed:
@@ -206,7 +210,8 @@ def main():
             stream.submit(qd)
         outs_p = stream.finish()
         dt_pipe = (time.perf_counter() - t0) / reps
-        tag = f"e2e_qb{qb}" + ("_packed" if packed else "")
+        tag = (f"e2e_qb{qb}" + ("_packed" if packed else "")
+               + ("_d2h" if d2h else ""))
         print(f"{tag}: sync {q_batch / dt_sync:,.0f} QPS "
               f"({dt_sync * 1e3:.1f} ms), pipelined "
               f"{q_batch / dt_pipe:,.0f} QPS ({dt_pipe * 1e3:.1f} ms), "

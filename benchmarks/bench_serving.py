@@ -332,12 +332,16 @@ def main():
 
             def dispatch_certified(qb_):
                 # ASYNC: the fused certify program returns ONE packed
-                # device array (pack_certified); nothing blocks until the
-                # single-pull certificate sync in finalize.
-                return blocked_ivf_search_fused(
+                # device array (pack_certified); the D2H copy starts at
+                # dispatch so finalize's certificate sync finds the
+                # bytes already host-resident.
+                out = blocked_ivf_search_fused(
                     ivf_b, qb_, lap_f, w_f, ts, tau, topk,
                     n_probe=n_probe, tau_mix=TAU_MIX, certify=True,
                     q_block=q_blk, pack_out=True, **cert_kw)
+                if hasattr(out, "copy_to_host_async"):
+                    out.copy_to_host_async()
+                return out
 
             def finalize_certified(qb_, out):
                 # Same escalation semantics as search_batch

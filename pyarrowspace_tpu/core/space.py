@@ -513,9 +513,15 @@ class ArrowSpace:
             if q.ndim != 2 or q.shape[1] != self.nfeatures:
                 raise ValueError(f"queries must be [Q, {self.nfeatures}], "
                                  f"got {q.shape}")
-            return (np.asarray(queries), self._ivf_block_dispatch(
+            out = self._ivf_block_dispatch(
                 q, float(tau), topk_eff, n_probe, True, base_m,
-                q_block=q_block, pack_out=True))
+                q_block=q_block, pack_out=True)
+            # Start the device->host copy of the packed result NOW: by
+            # finalize time the bytes are already on the host and the
+            # certificate sync costs ~0 RPCs on the critical path.
+            if hasattr(out, "copy_to_host_async"):
+                out.copy_to_host_async()
+            return (np.asarray(queries), out)
 
         def finalize(_queries, boxed):
             queries_np, out = boxed

@@ -331,3 +331,19 @@ def test_cert_seeds_artifact():
     assert data["np8_floor"]["base_min"] >= 0.99
     assert data["np4_floor"]["base_min"] >= 0.25   # never collapses here
     assert data["np4_floor"]["widened_min"] >= 0.99
+
+
+def test_cert_profile_32k_artifact():
+    """VERDICT r4 #2 target met: >= 150k QPS at 100% certified at
+    1M x 768 (measured 191.7k pipelined at batch 32768 with the packed
+    single-pull sync — recorded 1787164272)."""
+    data = json.loads(_latest("cert_profile_32k",
+                              "cert_profile.json").read_text())
+    cfg = data["config"]
+    assert cfg["n"] >= 1_000_000 and cfg["f"] >= 768
+    assert cfg["q_batch"] >= 32768
+    assert cfg["backend"] in ("tpu", "axon")
+    best = data["phases"]["e2e_qb16_packed"]
+    assert best["cert_rate"] == 1.0
+    assert best["pipelined_qps"] >= 150_000
+    assert best["sync_qps"] >= 100_000
