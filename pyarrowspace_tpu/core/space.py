@@ -653,11 +653,16 @@ class ArrowSpace:
         refused queries with a higher n_probe or mode="exact".
 
         q_block (ivf_block/certified): queries per shared probe list.
-        None -> 16, the large-batch serving default (measured 2026-08-19
-        at 1M x 768: 100% certified on tightened clusters, +18%
-        pipelined QPS vs 8 — recorded 1787159703_cert_profile).  Pass 8
-        for SMALL or topically diverse batches, where 16 queries rarely
-        agree on n_probe clusters and certification refuses more."""
+        None -> 16 for approximate modes and for certified serving at
+        n_probe >= 8 (measured 2026-08-19 at 1M x 768 np=8: 100%
+        certified on tightened clusters, +18% pipelined QPS vs 8 —
+        recorded 1787159703_cert_profile), but 8 for certified serving
+        at n_probe < 8: the probe list is block-shared, and the wide
+        block at small n_probe dilutes per-query routing (measured
+        2026-08-19 on a 1500x48 mixture at np=4: base cert 0.92 at
+        qb=8 vs 0.54 at qb=16 — ops/pallas/ivf_scan.default_q_block).
+        Pass 8 explicitly for SMALL or topically diverse batches, where
+        16 queries rarely agree on n_probe clusters."""
         if certify and mode != "ivf_block":
             raise ValueError("certify=True requires mode='ivf_block'")
         if mode not in ("auto", "exact", "int8", "subtile", "ivf",

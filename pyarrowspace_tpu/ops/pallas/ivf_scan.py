@@ -644,6 +644,25 @@ def q_block_for(q: int, q_block: int = 16) -> int:
     return min(q_block, max(8, 1 << (q - 1).bit_length()))
 
 
+def default_q_block(certify: bool, n_probe: int) -> int:
+    """Default query-block width, shared by the single-chip and sharded
+    IVF paths so their certificates cannot drift.
+
+    Probes are BLOCK-shared (each block of qb queries routes as one, see
+    _route_scan_core), so the block width trades probe-DMA grid size
+    against per-query routing fidelity.  qb=16 was measured cert-neutral
+    at 1M x 768 with n_probe=8 on tightened clusters (recorded
+    1787159703_cert_profile: 100% cert at qb=8 AND 16, +18% pipelined
+    QPS at 16) — but at small n_probe the wider block dilutes each
+    query's share of the probe list and erodes the certificate
+    (measured 2026-08-19 on the 1500x48 mixture, 24 clusters,
+    n_probe=4: base cert 0.92 at qb=8 vs 0.54 at qb=16).  Certified
+    serving therefore keeps qb=8 whenever n_probe < 8; approximate
+    serving always takes the wide block (overlap, not exactness, is its
+    contract)."""
+    return 8 if (certify and n_probe < 8) else 16
+
+
 def _res_eps_vector(ivf: BlockedIVF) -> jnp.ndarray:
     """Per-slab cast-residual norms for the rescored certificate; indexes
     built before the res_eps state fall back to the sound worst-case
@@ -696,15 +715,11 @@ def blocked_ivf_search(ivf: BlockedIVF, qn, lam_q, tau, topk: int,
     q, _f = qn.shape
     n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
     n_probe = max(1, min(n_probe, n_clusters))
-    # q_block=None -> 16 for every mode, certified included: with
-    # lloyd_tighten'ed clusters qb=16 certifies identically to qb=8
-    # (measured 2026-08-19 at 1M x 768 np=8: 100% cert at BOTH, scan
-    # 78 vs 93 ms/batch of 16384, e2e pipelined 94.7k vs 80.2k QPS —
-    # recorded 1787159703_cert_profile) while halving the probe-DMA
-    # grid.  The old qb=8 certified default predates cluster tightening
-    # (round-3: 0.49 -> 0.90 cert on UNtightened clusters); pass
-    # q_block=8 explicitly for untightened layouts.
-    qb = q_block_for(q, 16 if q_block is None else q_block)
+    # q_block=None -> shared n_probe-gated default (default_q_block):
+    # 16 everywhere except certified serving at n_probe < 8, where the
+    # block-shared probe list dilutes and the cert rate collapses.
+    qb = q_block_for(q, default_q_block(certify, n_probe)
+                     if q_block is None else q_block)
     k = max(1, min(topk, ivf.cap * n_probe))
     args = (ivf.centroids_unit, ivf.slabs, ivf.slab_lambdas, ivf.slab_ids,
             jnp.asarray(qn, dtype=jnp.float32),
@@ -835,13 +850,10 @@ def blocked_ivf_search_fused(ivf: BlockedIVF, queries, lap_f, w_f,
     q, _f = queries.shape
     n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
     n_probe = max(1, min(n_probe, n_clusters))
-    # q_block=None -> 16 for every mode, certified included (see
-    # blocked_ivf_search: measured 2026-08-19 at 1M x 768, 100% cert at
-    # qb=16 on tightened clusters, e2e pipelined +18% vs qb=8 —
-    # recorded 1787159703_cert_profile).  The narrow-block rule of
-    # round 3 (0.49 -> 0.90 cert at qb=8) applied to UNtightened
-    # clusters; pass q_block=8 explicitly for those.
-    qb = q_block_for(q, 16 if q_block is None else q_block)
+    # q_block=None -> shared n_probe-gated default (default_q_block):
+    # 16 everywhere except certified serving at n_probe < 8.
+    qb = q_block_for(q, default_q_block(certify, n_probe)
+                     if q_block is None else q_block)
     k = max(1, min(topk, ivf.cap * n_probe))
     if certify and ivf.radii is None:
         raise ValueError("certify=True needs an index built with "

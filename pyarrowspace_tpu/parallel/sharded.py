@@ -498,10 +498,10 @@ def _sharded_search_ivf_block(cu_pad, slabs_pad, lam_s_pad, ids_pad, q,
     MERGED kth score, and a psum ORs the violations — sound across the
     whole corpus because the cluster slabs partition it."""
     from ..ops.pallas.ivf_scan import (_route_scan_core, cert_violations,
-                                       q_block_for)
+                                       default_q_block, q_block_for)
 
     n_q = q.shape[0]
-    qb = q_block_for(n_q, 8 if certify else 16)
+    qb = q_block_for(n_q, default_q_block(certify, n_probe))
 
     def body(cu, slabs, lam_s, ids_s, qb_, lap, wf, ts, tt, rad, llo, lhi,
              nem, mg):

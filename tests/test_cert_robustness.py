@@ -44,6 +44,20 @@ def _indist_queries(xu, seed, q=48, noise_rel=0.25):
     return xu[rows] + (noise_rel / np.sqrt(F)) * rng.normal(size=(q, F))
 
 
+def test_default_q_block_gates_on_n_probe():
+    """The certified q_block default must stay narrow at small n_probe:
+    probes are block-shared, and qb=16 at n_probe=4 was measured to
+    erode the base cert rate 0.92 -> 0.54 on this file's mixture
+    (2026-08-19) — exactly the collapse the floor test below pins.  The
+    wide block is only cert-neutral at n_probe >= 8 (recorded
+    1787159703_cert_profile at 1M x 768)."""
+    from pyarrowspace_tpu.ops.pallas.ivf_scan import default_q_block
+
+    assert default_q_block(certify=True, n_probe=4) == 8
+    assert default_q_block(certify=True, n_probe=8) == 16
+    assert default_q_block(certify=False, n_probe=4) == 16
+
+
 @pytest.mark.parametrize("seed", SEEDS)
 def test_cert_rate_floor_across_seeds(seed):
     items = _mixture_corpus(seed)
