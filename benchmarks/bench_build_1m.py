@@ -28,13 +28,18 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("ARROWSPACE_KNN_BACKEND", "pallas")
 
 import numpy as np
 
 
 def main():
+    # Env defaults live in main(), NOT at module top level: the test
+    # suite imports every bench script (tests/test_benchmarks_import.py),
+    # and an import-time ARROWSPACE_KNN_BACKEND=pallas leaked into later
+    # tests whose exactness contracts pin the XLA backend (test_extend,
+    # test_golden_pipeline) — 11 ordering-dependent failures.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    os.environ.setdefault("ARROWSPACE_KNN_BACKEND", "pallas")
     from protocols import force_cpu_if_requested
     force_cpu_if_requested()
     import jax

@@ -10,10 +10,22 @@ SCRIPTS = sorted(p for p in BENCH_DIR.glob("bench_*.py"))
 
 
 @pytest.mark.parametrize("path", SCRIPTS, ids=lambda p: p.stem)
-def test_protocol_imports(path):
+def test_protocol_imports(path, monkeypatch):
+    # Bench scripts may set env defaults; executing their top level must
+    # not leak those into later tests (ARROWSPACE_KNN_BACKEND=pallas from
+    # one script silently flipped the k-NN backend under test_extend /
+    # test_golden_pipeline, whose exactness contracts pin the XLA
+    # backend).  monkeypatch restores the whole environ snapshot.
+    import os
+    snapshot = dict(os.environ)
     spec = importlib.util.spec_from_file_location(path.stem, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    for key in set(os.environ) - set(snapshot):
+        monkeypatch.delenv(key)
+    for key, val in snapshot.items():
+        if os.environ.get(key) != val:
+            monkeypatch.setenv(key, val)
     assert hasattr(mod, "main"), path.stem
 
 
