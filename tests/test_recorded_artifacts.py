@@ -347,3 +347,25 @@ def test_cert_profile_32k_artifact():
     assert best["cert_rate"] == 1.0
     assert best["pipelined_qps"] >= 150_000
     assert best["sync_qps"] >= 100_000
+
+
+def test_cold_start_artifact():
+    """Deployment cold start (VERDICT r4 weak #4): the persistent XLA
+    compilation cache measurably works ACROSS PROCESSES on the real
+    TPU.  Three fresh processes shared one empty-at-start cache dir at
+    the bench shape (313,841 x 384 build + exact & certified serving):
+    total process time 449.3 -> 151.2 -> 49.3 s, first certified-serve
+    26.3 -> ~2.2 s.  The steady (warm2) process is the deployment
+    cold-start number; docs/SERVING.md quotes these."""
+    data = json.loads(_latest("cold_start", "cold_start.json").read_text())
+    runs = data["runs"]
+    assert data["shape"]["n"] >= 313_000
+    # Cache recovers most of the first-build compile and the serving
+    # compiles; each warm generation strictly improves the cold start.
+    assert runs["warm1"]["total_process_s"] < 0.5 * runs["cold"]["total_process_s"]
+    assert runs["warm2"]["total_process_s"] < 0.5 * runs["warm1"]["total_process_s"]
+    assert (runs["warm2"]["first_serve_certified_s"]
+            < 0.2 * runs["cold"]["first_serve_certified_s"])
+    # Steady-state build time itself is cache-independent (sanity).
+    builds = [runs[k]["steady_build_s"] for k in ("cold", "warm1", "warm2")]
+    assert max(builds) < 1.5 * min(builds)
