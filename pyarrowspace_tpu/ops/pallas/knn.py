@@ -86,6 +86,152 @@ def _lazy_merge_min(d, col_ids, run_d, run_i, *, k: int, inf_val):
                                    (d, run_d, run_i))
     return rd, ri
 
+def _lazy_merge_min_t(d, cand_ids, run_d, run_i, *, k: int, k_pad: int,
+                      inf_val):
+    """Transposed lazy exact merge: candidates on SUBLANES, queries on
+    lanes.  `d` is [T, B] (T candidates x B block rows), the running
+    top-k lives as [k_pad, B] with the best distance in row 0.  Same
+    algorithm and tie-break as _lazy_merge_min, but every reduction
+    (tile min, tie-broken argmin, insertion rank) runs over the SUBLANE
+    axis — elementwise vreg ops with no cross-lane shuffles, where the
+    [B, T] layout's lane-axis min costs a log-tree of cross-lane
+    relayouts per pass (the measured extraction share of the k-NN pass
+    is ~60%, recorded 1787161308_knn_bf16_ab).  k_pad >= k rows of
+    scratch keep the sublane dim aligned; rows >= k stay at inf and are
+    never emitted."""
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (k_pad, d.shape[1]), 0)
+    int_max = jnp.iinfo(jnp.int32).max
+
+    def kth_of(rd):
+        return jnp.min(jnp.where(row_k == k - 1, rd, jnp.inf), axis=0,
+                       keepdims=True)
+
+    def improving(carry):
+        dd, rd, _ = carry
+        return jnp.any(jnp.min(dd, axis=0, keepdims=True) < kth_of(rd))
+
+    def extract_insert(carry):
+        dd, rd, ri = carry
+        kth = kth_of(rd)
+        m = jnp.min(dd, axis=0, keepdims=True)                  # [1, B]
+        hit = dd == m
+        sel = jnp.min(jnp.where(hit, cand_ids, int_max), axis=0,
+                      keepdims=True)                            # [1, B]
+        improves = m < kth
+        pos = jnp.sum((rd < m).astype(jnp.int32), axis=0,
+                      keepdims=True)                            # [1, B]
+        rd_shift = jnp.concatenate([rd[:1], rd[:-1]], axis=0)
+        ri_shift = jnp.concatenate([ri[:1], ri[:-1]], axis=0)
+        ins_d = jnp.where(row_k < pos, rd,
+                          jnp.where(row_k == pos, m, rd_shift))
+        ins_i = jnp.where(row_k < pos, ri,
+                          jnp.where(row_k == pos,
+                                    sel.astype(ri.dtype), ri_shift))
+        rd = jnp.where(improves, ins_d, rd)
+        ri = jnp.where(improves, ins_i, ri)
+        dd = jnp.where(hit & (cand_ids == sel), inf_val, dd)
+        dd = jnp.where(improves, dd, inf_val)  # column done: min >= kth
+        return dd, rd, ri
+
+    _, rd, ri = jax.lax.while_loop(improving, extract_insert,
+                                   (d, run_d, run_i))
+    return rd, ri
+
+
+def _knn_block_kernel_t(eps_ref, nreal_ref, rows_ref, cols_ref,
+                        out_d_ref, out_i_ref, run_d, run_i, *, k: int,
+                        k_pad: int, col_tile: int, block_rows: int):
+    """Transposed-merge variant of _knn_block_kernel: the dot emits
+    [T, B] (corpus tile on sublanes, block rows on lanes) and the merge
+    reduces over sublanes; outputs stay transposed ([k_pad, N] — the
+    caller transposes once, 40 MB at 313k)."""
+    rb = pl.program_id(0)
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _init():
+        run_d[:] = jnp.full_like(run_d, _INF_DIST)
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    rows = rows_ref[:]                      # [B, F]
+    cols = cols_ref[:]                      # [T, F]
+    b = rows.shape[0]
+
+    sims = jax.lax.dot_general(
+        cols, rows, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [T, B]
+    d = 1.0 - jnp.maximum(sims, 0.0)
+
+    cand_ids = (t * col_tile
+                + jax.lax.broadcasted_iota(jnp.int32, (col_tile, b), 0))
+    row_ids = (rb * block_rows
+               + jax.lax.broadcasted_iota(jnp.int32, (col_tile, b), 1))
+    invalid = (cand_ids == row_ids) | (cand_ids >= nreal_ref[0])
+    d = jnp.where(invalid | (d > eps_ref[0]), _INF_DIST, d).astype(
+        jnp.float32)
+
+    rd, ri = _lazy_merge_min_t(d, cand_ids, run_d[:], run_i[:], k=k,
+                               k_pad=k_pad, inf_val=_INF_DIST)
+    run_d[:] = rd
+    run_i[:] = ri
+
+    @pl.when(t == n_tiles - 1)
+    def _emit():
+        out_d_ref[:] = run_d[:]
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "col_tile", "interpret"))
+def _knn_pallas_all_t(xu_pad, eps_arr, nreal_arr, *, k, block_rows,
+                      col_tile, interpret=False):
+    """Transposed-merge twin of _knn_pallas_all: same grid, [k_pad, N]
+    outputs (block (k_pad, block_rows) at column rb), one XLA transpose
+    at the end."""
+    n_pad, f = xu_pad.shape
+    n_tiles = n_pad // col_tile
+    n_blocks = n_pad // block_rows
+    k_pad = max(8, ((k + 7) // 8) * 8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks, n_tiles),
+        in_specs=[
+            pl.BlockSpec((block_rows, f), lambda rb, t, *_: (rb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((col_tile, f), lambda rb, t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k_pad, block_rows), lambda rb, t, *_: (0, rb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, block_rows), lambda rb, t, *_: (0, rb),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k_pad, block_rows), jnp.float32),
+            pltpu.VMEM((k_pad, block_rows), jnp.int32),
+        ],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(_knn_block_kernel_t, k=k, k_pad=k_pad,
+                          col_tile=col_tile, block_rows=block_rows),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((k_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k_pad, n_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(64, 14 * block_rows * col_tile // (1 << 20))
+            * 1024 * 1024) if not interpret else None,
+        interpret=interpret,
+    )
+    d_t, i_t = kernel(eps_arr, nreal_arr, xu_pad, xu_pad)
+    return d_t[:k].T, i_t[:k].T
+
+
 def _knn_block_kernel(eps_ref, nreal_ref, rows_ref, cols_ref,
                       out_d_ref, out_i_ref, run_d, run_i, *, k: int,
                       col_tile: int, block_rows: int):
@@ -188,7 +334,8 @@ def _knn_pallas_all(xu_pad, eps_arr, nreal_arr, *, k, block_rows, col_tile,
 
 def knn_graph_candidates_pallas(xu: jnp.ndarray, k: int, eps: float,
                                 block_rows: int = 256, col_tile: int = 2048,
-                                interpret: bool | None = None):
+                                interpret: bool | None = None,
+                                variant: str | None = None):
     # Tile defaults from the 313k x 384 single-dispatch sweeps on v5e:
     # (256, 2048) runs the full corpus in 2.27-2.31s vs 2.45s (128, 2048),
     # 2.50s (256, 4096), 2.90s (512, 4096), 3.26s (1024, 4096) and 5.69s
@@ -203,9 +350,13 @@ def knn_graph_candidates_pallas(xu: jnp.ndarray, k: int, eps: float,
     idx [N,k] int32) ascending per row, missing = (2.0, -1).  Falls back to
     interpret mode automatically off-TPU (CPU tests).
     """
+    import os
+
     n, f = xu.shape
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    if variant is None:
+        variant = os.environ.get("ARROWSPACE_KNN_VARIANT", "rowmajor")
     k_eff = max(1, min(k, n - 1)) if n > 1 else 1
     tile = min(col_tile, max(128, 1 << (n - 1).bit_length()))
     block = min(block_rows, tile)
@@ -214,9 +365,10 @@ def knn_graph_candidates_pallas(xu: jnp.ndarray, k: int, eps: float,
     xu_pad = jnp.pad(xu.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
     eps_arr = jnp.asarray([float(eps)], dtype=jnp.float32)
     nreal_arr = jnp.asarray([n], dtype=jnp.int32)
-    d, i = _knn_pallas_all(xu_pad, eps_arr, nreal_arr, k=k_eff,
-                           block_rows=block, col_tile=tile,
-                           interpret=interpret)
+    fn = _knn_pallas_all_t if variant == "transposed" else _knn_pallas_all
+    d, i = fn(xu_pad, eps_arr, nreal_arr, k=k_eff,
+              block_rows=block, col_tile=tile,
+              interpret=interpret)
     d, i = d[:n], i[:n]
     if k_eff < k:
         d = jnp.pad(d, ((0, 0), (0, k - k_eff)), constant_values=_INF_DIST)

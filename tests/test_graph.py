@@ -148,6 +148,28 @@ def test_pallas_knn_multi_row_block_grid():
         assert a == b, r
 
 
+def test_pallas_knn_transposed_variant_bitwise():
+    """The transposed-merge kernel variant (candidates on sublanes,
+    merge reductions over the sublane axis) must be BITWISE identical to
+    the row-major default — same distances, same indices, same
+    tie-breaks — across multi-block grids.  Measured on TPU 2026-08-19
+    (recorded knn_merge_ab): 0.96x at 313k x 384, i.e. the merge is
+    elementwise-bound (every pass touches the whole tile), not
+    relayout-bound, so the variant stays an env-gated A/B probe
+    (ARROWSPACE_KNN_VARIANT=transposed), not the default."""
+    from pyarrowspace_tpu.ops.pallas.knn import knn_graph_candidates_pallas
+    rng = np.random.default_rng(57)
+    x = rng.normal(size=(300, 32)).astype(np.float32)
+    xu = unit_normalize(jnp.asarray(x))
+    for kwargs in ({}, {"block_rows": 128, "col_tile": 128}):
+        d1, i1 = knn_graph_candidates_pallas(xu, 7, 0.9, interpret=True,
+                                             variant="rowmajor", **kwargs)
+        d2, i2 = knn_graph_candidates_pallas(xu, 7, 0.9, interpret=True,
+                                             variant="transposed", **kwargs)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def test_chunked_knn_matches_monolithic():
     from pyarrowspace_tpu.ops.distance import knn_graph_candidates_chunked
     rng = np.random.default_rng(29)

@@ -318,6 +318,25 @@ def test_knn_bf16_ab_artifact():
     assert data["neighbor_overlap_sampled"] >= 0.99
 
 
+def test_knn_merge_ab_artifact():
+    """Transposed-merge k-NN A/B (round-5 follow-up to the bf16 A/B's
+    extraction-bound finding): candidates on SUBLANES so every merge
+    reduction is relayout-free — measured 0.96x at 313k x 384 on TPU,
+    i.e. the lazy extract-insert merge is ELEMENTWISE-bound (each pass
+    touches the whole [B, T] tile), not relayout-bound.  Recorded as the
+    measured basis for keeping the row-major kernel the default; the
+    variant stays an env-gated probe (ARROWSPACE_KNN_VARIANT)."""
+    data = json.loads(_latest("knn_merge_ab",
+                              "knn_merge_ab.json").read_text())
+    assert data["config"]["backend"] in ("tpu", "axon")
+    assert data["config"]["n"] >= 262_144
+    # A near-tie, not a win — and exactness held bitwise.
+    assert 0.8 <= data["speedup_transposed"] <= 1.2
+    assert data["rows_identical_idx"] == 1.0
+    assert data["dist_bitwise_equal"] is True
+    assert data["modes"]["rowmajor"]["tf_per_s"] > 20
+
+
 def test_cert_seeds_artifact():
     """Multi-seed cert-rate floor at realistic scale (VERDICT r4 #4):
     >= 262k x 768 on real TPU, clustering seed swept, np in {4, 8}."""
