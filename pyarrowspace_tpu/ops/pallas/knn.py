@@ -41,7 +41,8 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
 
-def _lazy_merge_min(d, col_ids, run_d, run_i, *, k: int, inf_val):
+def _lazy_merge_min(d, col_ids, run_d, run_i, *, k: int, inf_val,
+                    unroll_passes: int = 0):
     """Lazy exact merge, MIN variant (distances ascending; mirror of
     ops/pallas/scan_topk._lazy_merge): extract a tile's min and
     insertion-sort it in only while it beats some row's kth distance;
@@ -82,6 +83,17 @@ def _lazy_merge_min(d, col_ids, run_d, run_i, *, k: int, inf_val):
         dd = jnp.where(improves, dd, inf_val)  # row done: min >= kth
         return dd, rd, ri
 
+    if unroll_passes:
+        # DIAGNOSTIC ONLY (bench_knn_merge_ab KNNAB_DIAG): a fixed
+        # number of unconditionally-unrolled passes with NO while_loop,
+        # to price the loop structure (cond reduces + the [B, T] dd
+        # carry) separately from the pass bodies.  Output is WRONG
+        # whenever a tile holds more improving candidates than passes.
+        carry = (d, run_d, run_i)
+        for _ in range(unroll_passes):
+            carry = extract_insert(carry)
+        _, rd, ri = carry
+        return rd, ri
     _, rd, ri = jax.lax.while_loop(improving, extract_insert,
                                    (d, run_d, run_i))
     return rd, ri
@@ -234,9 +246,33 @@ def _knn_pallas_all_t(xu_pad, eps_arr, nreal_arr, *, k, block_rows,
 
 def _knn_block_kernel(eps_ref, nreal_ref, rows_ref, cols_ref,
                       out_d_ref, out_i_ref, run_d, run_i, *, k: int,
-                      col_tile: int, block_rows: int):
+                      col_tile: int, block_rows: int, sub: int = 0,
+                      diag: str = "", diag_start: bool = False):
     """Grid dim 0 walks row blocks, dim 1 column tiles (innermost); the
-    running top-k for the current row block lives in VMEM scratch."""
+    running top-k for the current row block lives in VMEM scratch.
+
+    sub > 0 selects the SUB-TILE merge variant: the column tile is
+    processed in `sub`-row slices, each with its OWN dot — the [B, sub]
+    distance slice comes straight off the MXU, so nothing ever slices a
+    wide [B, T] vector on the lane axis (Mosaic crashes on that:
+    vector_extract_strided_slice 'limits[i] <= dim(i)' in
+    ApplyVectorLayout, hit 2026-08-20 with a d[:, 128-lane] slice).
+    Rationale: the merge is the measured ~60% of the pass (recorded
+    1787161308_knn_bf16_ab) and every extract-insert pass touches the
+    whole distance block it merges; with slices a pass touches only
+    [B, sub], and a slice holding no improving candidate costs one
+    predicate check (a lane-min + compare) instead of a full pass.
+    Slices run in ascending column order, so outputs match the
+    full-tile merge except where an EXACT distance tie crosses the kth
+    boundary (the kept neighbor may differ at identical distance — the
+    same tie class already documented vs the XLA backend above).
+
+    diag selects WRONG-OUTPUT timing probes for bench_knn_merge_ab's
+    phase decomposition (never reachable from the public entry point):
+    "nomerge" replaces the lazy merge with a single row-min reduce
+    (times dot + masks + one cross-lane reduce), "nomask" runs the full
+    merge on unmasked distances (times the pass without the
+    iota/compare mask build)."""
     rb = pl.program_id(0)
     t = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -247,24 +283,42 @@ def _knn_block_kernel(eps_ref, nreal_ref, rows_ref, cols_ref,
         run_i[:] = jnp.full_like(run_i, -1)
 
     rows = rows_ref[:]                      # [B, F]
-    cols = cols_ref[:]                      # [T, F]
     b = rows.shape[0]
 
-    sims = jax.lax.dot_general(
-        rows, cols, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [B, T]
-    d = 1.0 - jnp.maximum(sims, 0.0)
+    # Diagonal-first visit order: the BlockSpec index map rotates the
+    # column-tile walk so each row block scans its OWN neighborhood
+    # first (see _knn_pallas_all); the candidate ids must use the same
+    # rotated tile id.
+    t_eff = ((t + rb * block_rows // col_tile) % n_tiles
+             if diag_start else t)
 
-    col_ids = (t * col_tile
-               + jax.lax.broadcasted_iota(jnp.int32, (b, col_tile), 1))
-    row_ids = (rb * block_rows
-               + jax.lax.broadcasted_iota(jnp.int32, (b, col_tile), 0))
-    invalid = (col_ids == row_ids) | (col_ids >= nreal_ref[0])
-    d = jnp.where(invalid | (d > eps_ref[0]), _INF_DIST, d).astype(
-        jnp.float32)
+    step = sub if (sub and sub < col_tile) else col_tile
+    rd, ri = run_d[:], run_i[:]
+    for s in range(col_tile // step):
+        cols = cols_ref[s * step:(s + 1) * step, :]        # [step, F]
+        sims = jax.lax.dot_general(
+            rows, cols, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [B, step]
+        d = 1.0 - jnp.maximum(sims, 0.0)
 
-    rd, ri = _lazy_merge_min(d, col_ids, run_d[:], run_i[:], k=k,
-                             inf_val=_INF_DIST)
+        col_ids = (t_eff * col_tile + s * step
+                   + jax.lax.broadcasted_iota(jnp.int32, (b, step), 1))
+        if diag != "nomask":
+            row_ids = (rb * block_rows
+                       + jax.lax.broadcasted_iota(jnp.int32, (b, step), 0))
+            invalid = (col_ids == row_ids) | (col_ids >= nreal_ref[0])
+            d = jnp.where(invalid | (d > eps_ref[0]), _INF_DIST,
+                          d).astype(jnp.float32)
+        if diag == "nomerge":
+            m = jnp.min(d, axis=1, keepdims=True)
+            rd = jnp.minimum(rd, m)
+        elif diag.startswith("merge"):
+            rd, ri = _lazy_merge_min(d, col_ids, rd, ri, k=k,
+                                     inf_val=_INF_DIST,
+                                     unroll_passes=int(diag[5:]))
+        else:
+            rd, ri = _lazy_merge_min(d, col_ids, rd, ri, k=k,
+                                     inf_val=_INF_DIST)
     run_d[:] = rd
     run_i[:] = ri
 
@@ -276,9 +330,10 @@ def _knn_block_kernel(eps_ref, nreal_ref, rows_ref, cols_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_rows", "col_tile", "interpret"))
+    static_argnames=("k", "block_rows", "col_tile", "interpret", "sub",
+                     "diag", "diag_start"))
 def _knn_pallas_all(xu_pad, eps_arr, nreal_arr, *, k, block_rows, col_tile,
-                    interpret=False):
+                    interpret=False, sub=0, diag="", diag_start=False):
     """The whole corpus in ONE pallas_call: grid (row blocks, col tiles).
 
     One dispatch instead of a python loop of per-block calls — through the
@@ -293,13 +348,26 @@ def _knn_pallas_all(xu_pad, eps_arr, nreal_arr, *, k, block_rows, col_tile,
     n_tiles = n_pad // col_tile
     n_blocks = n_pad // block_rows
 
+    if diag_start:
+        # Rotate each row block's column walk to start at its own
+        # diagonal tile: after a locality-preserving corpus reorder a
+        # row's nearest neighbors live near its own position, so the
+        # running kth bound tightens in the first tiles and the lazy
+        # merge's improving check kills the remaining ~n_tiles-O(1)
+        # tiles in one reduce each (the merge is the measured 53% of
+        # the pass — diag decomposition 2026-08-20).
+        col_map = lambda rb, t, *_: (
+            (t + rb * block_rows // col_tile) % n_tiles, 0)
+    else:
+        col_map = lambda rb, t, *_: (t, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # eps, n_real
         grid=(n_blocks, n_tiles),
         in_specs=[
             pl.BlockSpec((block_rows, f), lambda rb, t, *_: (rb, 0),
                          memory_space=pltpu.VMEM),    # row block rb
-            pl.BlockSpec((col_tile, f), lambda rb, t, *_: (t, 0),
+            pl.BlockSpec((col_tile, f), col_map,
                          memory_space=pltpu.VMEM),    # column tile t
         ],
         out_specs=[
@@ -315,7 +383,8 @@ def _knn_pallas_all(xu_pad, eps_arr, nreal_arr, *, k, block_rows, col_tile,
     )
     kernel = pl.pallas_call(
         functools.partial(_knn_block_kernel, k=k, col_tile=col_tile,
-                          block_rows=block_rows),
+                          block_rows=block_rows, sub=sub, diag=diag,
+                          diag_start=diag_start),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
@@ -330,6 +399,50 @@ def _knn_pallas_all(xu_pad, eps_arr, nreal_arr, *, k, block_rows, col_tile,
         interpret=interpret,
     )
     return kernel(eps_arr, nreal_arr, xu_pad, xu_pad)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "col_tile", "interpret",
+                     "diag_start"))
+def _knn_pallas_all_reordered(xu_pad, eps_arr, nreal_arr, *, k, block_rows,
+                              col_tile, interpret=False, diag_start=True):
+    """Locality-sorted k-NN: projection-sort the corpus, run the fused
+    kernel with the diagonal-first tile walk, un-permute the results.
+
+    The lazy merge's cost is its extract-insert pass count; a pass fires
+    whenever a tile still holds a candidate beating the row's running
+    kth bound.  In corpus order, a row's ~k·ln(N/k) top-k updates are
+    spread over all n_tiles column tiles, so nearly every (block, tile)
+    step pays merge passes.  Sorting rows by a 1-D spectral projection
+    (3 power iterations on X^T X — one [F, N]x[N, F] matmul + two F x F
+    matvecs) clusters similar rows into the same tiles; with the
+    diagonal-first walk each block then finds its true top-k in its
+    first few tiles and the remaining tiles die in the improving
+    check's single reduce.  Exact same neighbor SET as the unsorted
+    kernel (exact algorithm, different visit order); at exact-distance
+    ties crossing the kth boundary the kept neighbor may differ (the
+    documented tie class).  Pad rows sort to the end (keys forced to
+    +inf), so the kernel's col >= nreal mask is unchanged."""
+    n_pad, f = xu_pad.shape
+    xtx = jax.lax.dot_general(
+        xu_pad, xu_pad, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [F, F]
+    v = jnp.sum(xtx, axis=1)                                 # XtX @ 1
+    for _ in range(2):
+        v = xtx @ v
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+    keys = xu_pad @ v                                        # [n_pad]
+    pos = jax.lax.iota(jnp.int32, n_pad)
+    keys = jnp.where(pos < nreal_arr[0], keys, jnp.inf)
+    perm = jnp.argsort(keys)                                 # pads last
+    d_p, i_p = _knn_pallas_all(xu_pad[perm], eps_arr, nreal_arr, k=k,
+                               block_rows=block_rows, col_tile=col_tile,
+                               interpret=interpret, diag_start=diag_start)
+    inv = jnp.argsort(perm)                  # original row -> sorted row
+    d_o, i_s = d_p[inv], i_p[inv]
+    i_o = jnp.where(i_s >= 0, perm[jnp.maximum(i_s, 0)], -1)
+    return d_o, i_o.astype(jnp.int32)
 
 
 def knn_graph_candidates_pallas(xu: jnp.ndarray, k: int, eps: float,
@@ -365,10 +478,23 @@ def knn_graph_candidates_pallas(xu: jnp.ndarray, k: int, eps: float,
     xu_pad = jnp.pad(xu.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
     eps_arr = jnp.asarray([float(eps)], dtype=jnp.float32)
     nreal_arr = jnp.asarray([n], dtype=jnp.int32)
-    fn = _knn_pallas_all_t if variant == "transposed" else _knn_pallas_all
-    d, i = fn(xu_pad, eps_arr, nreal_arr, k=k_eff,
-              block_rows=block, col_tile=tile,
-              interpret=interpret)
+    if variant == "transposed":
+        d, i = _knn_pallas_all_t(xu_pad, eps_arr, nreal_arr, k=k_eff,
+                                 block_rows=block, col_tile=tile,
+                                 interpret=interpret)
+    elif variant == "reorder":
+        d, i = _knn_pallas_all_reordered(xu_pad, eps_arr, nreal_arr,
+                                         k=k_eff, block_rows=block,
+                                         col_tile=tile,
+                                         interpret=interpret)
+    else:
+        sub = 0
+        if variant == "subtile":
+            sub = int(os.environ.get("ARROWSPACE_KNN_SUB", 256))
+        d, i = _knn_pallas_all(xu_pad, eps_arr, nreal_arr, k=k_eff,
+                               block_rows=block, col_tile=tile,
+                               interpret=interpret, sub=sub,
+                               diag_start=(variant == "diagstart"))
     d, i = d[:n], i[:n]
     if k_eff < k:
         d = jnp.pad(d, ((0, 0), (0, k - k_eff)), constant_values=_INF_DIST)

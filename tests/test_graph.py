@@ -170,6 +170,52 @@ def test_pallas_knn_transposed_variant_bitwise():
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+def test_pallas_knn_subtile_variant_bitwise(monkeypatch):
+    """The sub-tile merge variant (per-slice dot + [B, sub] lazy merge,
+    ascending column order) must match the full-tile merge bitwise on
+    tie-free data: with eps < 1 the exact-tie plateau at d = 1.0 is
+    masked, and float distances below it are tie-free w.p. 1, so
+    distances, indices, and tie-breaks all coincide.  (At exact kth-
+    boundary ties the kept neighbor may legitimately differ — same tie
+    class as pallas-vs-XLA, documented in knn.py.)"""
+    from pyarrowspace_tpu.ops.pallas.knn import knn_graph_candidates_pallas
+    rng = np.random.default_rng(58)
+    x = rng.normal(size=(300, 32)).astype(np.float32)
+    xu = unit_normalize(jnp.asarray(x))
+    d1, i1 = knn_graph_candidates_pallas(xu, 7, 0.9, interpret=True,
+                                         variant="rowmajor")
+    for sub_width in (64, 128):
+        monkeypatch.setenv("ARROWSPACE_KNN_SUB", str(sub_width))
+        d2, i2 = knn_graph_candidates_pallas(xu, 7, 0.9, interpret=True,
+                                             variant="subtile")
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_pallas_knn_locality_variants_bitwise():
+    """diagstart (rotated tile walk) and reorder (projection-sorted
+    corpus + rotated walk) visit the same exact candidate set in a
+    different order, so on tie-free data (eps < 1 masks the d = 1.0
+    plateau) distances and indices match the rowmajor kernel bitwise;
+    row order of the output must be the ORIGINAL corpus order."""
+    from pyarrowspace_tpu.ops.pallas.knn import knn_graph_candidates_pallas
+    rng = np.random.default_rng(61)
+    # clustered corpus: the regime the locality variants are built for
+    cents = rng.normal(size=(12, 32))
+    x = (cents[rng.integers(0, 12, size=500)]
+         + 0.3 * rng.normal(size=(500, 32))).astype(np.float32)
+    xu = unit_normalize(jnp.asarray(x))
+    d1, i1 = knn_graph_candidates_pallas(xu, 7, 0.9, interpret=True,
+                                         variant="rowmajor")
+    for variant in ("diagstart", "reorder"):
+        d2, i2 = knn_graph_candidates_pallas(xu, 7, 0.9, interpret=True,
+                                             variant=variant)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2),
+                                      err_msg=variant)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2),
+                                      err_msg=variant)
+
+
 def test_chunked_knn_matches_monolithic():
     from pyarrowspace_tpu.ops.distance import knn_graph_candidates_chunked
     rng = np.random.default_rng(29)
