@@ -31,10 +31,15 @@ def _build() -> bool:
     src = _NATIVE_DIR / "arrowspace_host.cpp"
     if not src.exists():
         return False
+    # Build to a process-unique temp path and rename: concurrent first-use
+    # across processes (pytest-xdist workers) must never observe a
+    # half-written .so (rename is atomic on POSIX).
+    tmp = _SO_PATH.with_suffix(f".so.{os.getpid()}")
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-fPIC", "-shared",
-           "-std=c++17", "-o", str(_SO_PATH), str(src)]
+           "-std=c++17", "-o", str(tmp), str(src)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO_PATH)
         log.info("built %s", _SO_PATH)
         return True
     except Exception as e:  # toolchain missing / build error -> fallback

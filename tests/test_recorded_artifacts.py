@@ -388,3 +388,29 @@ def test_cold_start_artifact():
     # Steady-state build time itself is cache-independent (sanity).
     builds = [runs[k]["steady_build_s"] for k in ("cold", "warm1", "warm2")]
     assert max(builds) < 1.5 * min(builds)
+
+
+def test_cert_ladder_artifact():
+    """Round-5 certified-overhead decomposition (probe_cert_ladder.py,
+    recorded 1787201129, same-session TPU at 1M x 768, batch 32768,
+    n_probe=8, qb=8): the SHIPPED certified kernel costs only a few ms
+    over the plain bound-routed scan — scan floor 123.1 ms, +routing
+    135.0 ms, full certified 142.5 ms (229.9k QPS).  This corrects the
+    phase-split reading of 1787164272 (269 ms "cert overhead" across
+    separately-timed phases): under a controlled same-session A/B the
+    certificate is ~6% of the kernel, and the pipelined e2e gap to
+    ivf_block is synthesis/pull overhead, not certification."""
+    data = json.loads(_latest("cert_ladder", "cert_ladder.json").read_text())
+    cfg = data["config"]
+    assert cfg["n"] >= 1_000_000 and cfg["f"] >= 768
+    assert cfg["q_batch"] >= 32768 and cfg["backend"] in ("tpu", "axon")
+    p = data["phases"]
+    scan = p["E_scan_only"]["ms_per_batch"]
+    plain = p["A_plain"]["ms_per_batch"]
+    cert = p["B_cert"]["ms_per_batch"]
+    # The qualitative shape this pins: certification is cheap relative
+    # to the scan it certifies (within 25% of the plain path), and the
+    # plain path is within 2x of the raw kernel floor.
+    assert cert <= 1.25 * plain, (cert, plain)
+    assert plain <= 2.0 * scan, (plain, scan)
+    assert p["B_cert"]["qps"] >= 150_000

@@ -207,7 +207,11 @@ def test_subtile_two_level_fallback_matches_single_level(monkeypatch):
     from pyarrowspace_tpu.ops.distance import unit_normalize
     from pyarrowspace_tpu.ops.pallas import subtile_scan as ss
     rng = np.random.default_rng(21)
-    n, f, topk = 30000, 64, 10   # n_pad 32768 -> n_sub 512, n_tiles 32
+    # The one-level/two-level boundary is monkeypatched to 8 subtiles
+    # below, so corpus size only needs n_sub > 8 with several second-level
+    # groups: n_pad 4096 -> n_sub 64 -> 8 groups of 8 (was 30000/512/64 —
+    # 92 s of interpret-mode scan for the same coverage).
+    n, f, topk = 4000, 64, 10
     xu = unit_normalize(jnp.asarray(
         rng.standard_normal((n, f), dtype=np.float32)))
     lam = jnp.asarray(rng.uniform(0.05, 0.3, n).astype(np.float32))
