@@ -482,7 +482,8 @@ class ArrowSpace:
                        depth: int = 4, cert_floor: float = 0.35,
                        floor_patience: int = 2,
                        fallback_mode: str = "auto",
-                       q_block: Optional[int] = None):
+                       q_block: Optional[int] = None,
+                       probe_escalations: int = 2):
         """Pipelined certified serving for batch STREAMS (the production
         serving shape): returns a `serving.CertifiedStream` whose
         `submit(queries)` keeps up to `depth` certified dispatches in
@@ -491,14 +492,23 @@ class ArrowSpace:
         match search_batch(mode="certified") exactly; `finish()` returns
         [(idx, vals, base_cert_rate)] in submission order.
 
-        Guardrail: if the base certification rate sits below `cert_floor`
-        for `floor_patience` consecutive batches (certificate collapse —
-        seed/data dependent, and widening on every batch costs ~15x the
-        exact scan), later batches reroute to `fallback_mode`:
-        "exact" (strictly f32-exact, certified's contract) or "auto"
-        (subtile above the ~131k-item crossover — selection exact at the
-        scan dtype with f32-rescored scores — else exact).  Pass
-        fallback_mode=None to keep certifying regardless."""
+        Guardrail ladder: if the base certification rate sits below
+        `cert_floor` for `floor_patience` consecutive batches
+        (certificate collapse — seed/data dependent, and widening on
+        every batch costs ~15x the exact scan), the stream first
+        ESCALATES the probe list — doubles n_probe for all later
+        batches, up to `probe_escalations` times (one recompile per
+        rung; certification rates recover with probe depth: the
+        measured np=4 collapse at 1M x 768 certifies ~100% at np=8,
+        CLAUDE.md round-3) — and only when the rungs are exhausted
+        reroutes later batches to `fallback_mode`: "exact" (strictly
+        f32-exact, certified's contract) or "auto" (subtile above the
+        ~131k-item crossover — selection exact at the scan dtype with
+        f32-rescored scores — else exact).  Escalated batch indices
+        are recorded on the stream (`escalated_at`).  Pass
+        fallback_mode=None to keep certifying (escalations still
+        apply); probe_escalations=0 restores the direct-degrade
+        behavior."""
         from ..serving import CertifiedStream
 
         topk_eff = min(gl.params.topk if topk is None else int(topk),
@@ -508,26 +518,51 @@ class ArrowSpace:
         self._warn_volatile_nprobe(n_probe)
         self._ensure_ivf_blocked()
 
+        # Mutable dispatch knobs the collapse-escalation hook bumps; each
+        # in-flight batch is finalized with the values it was DISPATCHED
+        # with (boxed below), so escalation never mixes probe depths.
+        state = {"n_probe": int(n_probe), "m": int(base_m),
+                 "rungs": max(0, int(probe_escalations))}
+
         def dispatch(queries):
             q = jnp.asarray(queries, dtype=self._data.dtype)
             if q.ndim != 2 or q.shape[1] != self.nfeatures:
                 raise ValueError(f"queries must be [Q, {self.nfeatures}], "
                                  f"got {q.shape}")
+            np_cur, m_cur = state["n_probe"], state["m"]
             out = self._ivf_block_dispatch(
-                q, float(tau), topk_eff, n_probe, True, base_m,
+                q, float(tau), topk_eff, np_cur, True, m_cur,
                 q_block=q_block, pack_out=True)
             # Start the device->host copy of the packed result NOW: by
             # finalize time the bytes are already on the host and the
             # certificate sync costs ~0 RPCs on the critical path.
             if hasattr(out, "copy_to_host_async"):
                 out.copy_to_host_async()
-            return (np.asarray(queries), out)
+            return (np.asarray(queries), out, np_cur, m_cur)
 
         def finalize(_queries, boxed):
-            queries_np, out = boxed
+            queries_np, out, np_used, m_used = boxed
             return self._certified_finalize(
-                queries_np, out, gl, tau, topk_eff, n_probe, n_widen,
-                base_m, q_block=q_block)
+                queries_np, out, gl, tau, topk_eff, np_used, n_widen,
+                m_used, q_block=q_block)
+
+        def on_collapse() -> bool:
+            ivf = self._ivf_blocked
+            n_clusters = int(ivf.slab_lambdas.shape[0] // ivf.cap)
+            np_max = min(n_clusters,
+                         max(1, self.nitems // max(1, 2 * ivf.cap)))
+            np_cur = state["n_probe"]
+            if state["rungs"] <= 0 or np_cur >= np_max:
+                return False
+            state["rungs"] -= 1
+            state["n_probe"] = min(2 * np_cur, np_max)
+            state["m"] = base_m * max(1, state["n_probe"] // int(n_probe))
+            log.warning(
+                "certification collapsed at n_probe=%d: escalating the "
+                "probe list to n_probe=%d (%d rung(s) left) before any "
+                "fallback degradation", np_cur, state["n_probe"],
+                state["rungs"])
+            return True
 
         fb = fb_fin = None
         if fallback_mode is not None:
@@ -549,7 +584,8 @@ class ArrowSpace:
         return CertifiedStream(dispatch, finalize, fallback=fb,
                                finalize_fallback=fb_fin, depth=depth,
                                cert_floor=cert_floor,
-                               floor_patience=floor_patience)
+                               floor_patience=floor_patience,
+                               on_collapse=on_collapse)
 
     def search_hybrid_batch(self, queries, gl: GraphLaplacian, tau: float,
                             topk: Optional[int] = None):

@@ -65,13 +65,21 @@ class CertifiedStream:
     cert_floor / floor_patience
         Degrade to the fallback path once the base certification rate
         sits below `cert_floor` for `floor_patience` consecutive batches.
+    on_collapse : () -> bool, optional
+        Escalation rung tried BEFORE degrading: called when the floor
+        patience runs out; returning True means the caller changed the
+        certified dispatch (e.g. doubled n_probe) — the streak resets
+        and the stream keeps certifying.  Returning False falls through
+        to the fallback degradation.  Batch indices where an escalation
+        fired are recorded in `escalated_at`.
     """
 
     def __init__(self, dispatch: Callable, finalize: Callable,
                  fallback: Optional[Callable] = None,
                  finalize_fallback: Optional[Callable] = None,
                  depth: int = 4, cert_floor: float = 0.35,
-                 floor_patience: int = 2):
+                 floor_patience: int = 2,
+                 on_collapse: Optional[Callable] = None):
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
         if (fallback is None) != (finalize_fallback is None):
@@ -84,10 +92,12 @@ class CertifiedStream:
         self._depth = int(depth)
         self._cert_floor = float(cert_floor)
         self._floor_patience = int(floor_patience)
+        self._on_collapse = on_collapse
         self._inflight: deque = deque()
         self._results: list = []
         self._low_streak = 0
         self.degraded_at: Optional[int] = None   # batch index, or None
+        self.escalated_at: list = []             # batch indices
         self.base_cert_rates: list = []
         self._submitted = 0
 
@@ -118,11 +128,24 @@ class CertifiedStream:
         idx, vals, rate = self._finalize(queries, out)
         self.base_cert_rates.append(float(rate))
         self._results.append((idx, vals, float(rate)))
-        if self._fallback is None or self.degraded:
+        if (self._fallback is None and self._on_collapse is None) \
+                or self.degraded:
             return
         self._low_streak = (self._low_streak + 1
                             if rate < self._cert_floor else 0)
         if self._low_streak >= self._floor_patience:
+            if self._on_collapse is not None and self._on_collapse():
+                # Escalation rung (e.g. a deeper probe list) — keep
+                # certifying; the next collapse gets the next rung.
+                self.escalated_at.append(len(self._results) - 1)
+                self._low_streak = 0
+                return
+            if self._fallback is None:
+                # Nothing left to degrade to: keep certifying and stop
+                # re-invoking the exhausted escalation hook.
+                self._on_collapse = None
+                self._low_streak = 0
+                return
             self.degraded_at = len(self._results) - 1
             _log.warning(
                 "certification collapsed (base rate < %.2f for %d "

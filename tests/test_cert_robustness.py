@@ -58,6 +58,7 @@ def test_default_q_block_gates_on_n_probe():
     assert default_q_block(certify=False, n_probe=4) == 16
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS)
 def test_cert_rate_floor_across_seeds(seed):
     items = _mixture_corpus(seed)

@@ -174,6 +174,7 @@ def test_cert_pool_width():
         cert_pool_width(5, 10, 10_000)
 
 
+@pytest.mark.slow
 def test_enable_ivf_slab_dtype_invalidates():
     """Changing the slab dtype through enable_ivf rebuilds the blocked
     index; the env knob applies when no explicit choice exists."""
@@ -205,6 +206,7 @@ def test_env_slab_dtype(monkeypatch):
         assert set(idx[r].tolist()) == set(ei[r].tolist())
 
 
+@pytest.mark.slow
 def test_env_slab_dtype_unknown_raises(monkeypatch):
     """Unknown ARROWSPACE_IVF_SLABS values must raise, not silently serve
     f32 (a deployment that asked for int8 would get the wrong precision

@@ -66,6 +66,7 @@ def test_cve_fixture_end_to_end_hash_embed():
     assert len(hits) == 3
 
 
+@pytest.mark.slow
 def test_bench2_loads_cve_dir(monkeypatch, tmp_path):
     """bench_2's input resolution honors ARROWSPACE_CVE_DIR."""
     import sys
@@ -76,6 +77,7 @@ def test_bench2_loads_cve_dir(monkeypatch, tmp_path):
     assert corpus.shape[0] == 6
 
 
+@pytest.mark.slow
 def test_hf_loaders_fail_cleanly_offline(monkeypatch):
     """The HF loaders are optional-import: in a zero-egress env they must
     raise (ImportError or a datasets offline error), not hang or return

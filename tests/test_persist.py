@@ -67,6 +67,7 @@ def test_energy_space_roundtrip(tmp_path):
     assert a2.search_energy(q, gle2, 12) == aspace.search_energy(q, gle, 12)
 
 
+@pytest.mark.slow
 def test_loaded_index_serves_certified(tmp_path):
     """Deployment path: save -> load -> mode='certified' serves exact
     results (lazy blocked-IVF rebuild from the persisted clustering)."""

@@ -84,7 +84,8 @@ def test_guardrail_degrades_to_fallback(built):
     batches = _batches(items, n_batches=5)
     stream = aspace.serving_stream(gl, 0.62, n_probe=3, depth=1,
                                    cert_floor=1.01, floor_patience=2,
-                                   fallback_mode="exact")
+                                   fallback_mode="exact",
+                                   probe_escalations=0)
     for qb in batches:
         stream.submit(qb)
     outs = stream.finish()
@@ -179,3 +180,70 @@ def test_volatile_nprobe_warning(monkeypatch):
     records.clear()
     stub._warn_volatile_nprobe(8)          # deep probes: silent
     assert not records
+
+
+def test_guardrail_escalates_probes_then_degrades(built):
+    """The collapse ladder: with an unreachable cert floor the stream
+    first doubles n_probe (`probe_escalations` rungs, still certified —
+    results stay exact), and only then degrades to the fallback."""
+    aspace, gl, items = built
+    batches = _batches(items, n_batches=5)
+    stream = aspace.serving_stream(gl, 0.62, n_probe=3, depth=1,
+                                   cert_floor=1.01, floor_patience=1,
+                                   fallback_mode="exact",
+                                   probe_escalations=1)
+    for qb in batches:
+        stream.submit(qb)
+    outs = stream.finish()
+    # batch 0 trips the floor -> escalate (3 -> 6); batch 1 trips it
+    # again with no rungs left -> degrade; batches 2+ ride the fallback.
+    assert stream.escalated_at == [0]
+    assert stream.degraded and stream.degraded_at == 1
+    assert len(stream.base_cert_rates) == 2
+    for qb, (idx, _v, _r) in zip(batches, outs):
+        ei, _ = aspace.search_batch(qb, gl, 0.62, mode="exact")
+        for r in range(len(qb)):
+            assert set(idx[r].tolist()) == set(ei[r].tolist()), r
+
+
+def test_escalation_without_fallback_keeps_certifying(built):
+    """fallback_mode=None still escalates the probe list, then keeps
+    certifying once the rungs are exhausted (never degrades)."""
+    aspace, gl, items = built
+    stream = aspace.serving_stream(gl, 0.62, n_probe=3, depth=1,
+                                   cert_floor=1.01, floor_patience=1,
+                                   fallback_mode=None,
+                                   probe_escalations=1)
+    for qb in _batches(items, n_batches=4):
+        stream.submit(qb)
+    stream.finish()
+    assert stream.escalated_at == [0]
+    assert not stream.degraded
+    assert len(stream.base_cert_rates) == 4
+
+
+def test_on_collapse_hook_unit():
+    """CertifiedStream calls on_collapse at the patience boundary and
+    resets the streak while the hook keeps returning True."""
+    calls = []
+
+    def hook():
+        calls.append(len(calls))
+        return len(calls) <= 2
+
+    def fake_finalize(_q, out):
+        return out, out, 0.0   # always below any floor
+
+    stream = CertifiedStream(lambda q: q, fake_finalize,
+                             fallback=lambda q: q,
+                             finalize_fallback=lambda q, o: (o, o),
+                             depth=1, cert_floor=0.5, floor_patience=2,
+                             on_collapse=hook)
+    for i in range(8):
+        stream.submit(np.asarray([i]))
+    stream.finish()
+    # patience=2: hooks fire after batches 1 and 3 (True), then after
+    # batch 5 the third call returns False -> degrade.
+    assert calls == [0, 1, 2]
+    assert stream.escalated_at == [1, 3]
+    assert stream.degraded_at == 5

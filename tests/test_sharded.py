@@ -62,6 +62,7 @@ def test_search_subtile_matches_single_chip(pair):
         sspace.search_batch(queries, 0.62, mode="warp")
 
 
+@pytest.mark.slow
 def test_mesh_sizes():
     """The pipeline must work at several device counts (1, 2, 4, 8)."""
     rng = np.random.default_rng(1)
@@ -78,6 +79,7 @@ def test_mesh_sizes():
             np.testing.assert_allclose(lams, ref, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -146,6 +148,7 @@ def test_from_local_to_local_roundtrip(tmp_path):
                                                               gl, 0.62)
 
 
+@pytest.mark.slow
 def test_sharded_reduction_parity_large():
     """>=4096 items: the sharded build must take the same reduction path as
     the single-chip build (centroid signals feed the feature Laplacian) and
@@ -169,6 +172,7 @@ def test_sharded_reduction_parity_large():
     assert np.array_equal(si, ai)
 
 
+@pytest.mark.slow
 def test_sharded_synthesis_modes():
     """tau* must dispatch on gp.synthesis (MEAN/MAX/FIXED), matching the
     single-chip derive_tau_star — not hardcoded median."""

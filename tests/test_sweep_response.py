@@ -44,8 +44,13 @@ def protocol():
 
 
 def _run(aspace, gl, queries, relevant, tau):
-    retrieved = [[i for i, _ in aspace.search(q, gl, tau)] for q in queries]
-    return evaluate_run(retrieved, relevant, k=10)
+    # One batched dispatch for all queries (identical rankings to the
+    # per-query aspace.search loop, which tests/test_search.py pins) —
+    # 150 single-query dispatches per sweep point dominated this file's
+    # wall-clock.
+    idx, _ = aspace.search_batch(np.asarray(queries), gl, tau)
+    return evaluate_run([list(map(int, row)) for row in idx],
+                        relevant, k=10)
 
 
 def test_tau_sweep_monotone_response(protocol):
