@@ -45,7 +45,10 @@ from ..ops.rayleigh import dispersion_batch, rayleigh_batch
 from ..ops.symmetrize import symmetrize_to_ell, _rank_within_rows
 from ..spectral.taumode import TAU_MIX, synthesize
 from ..utils.debug import dbg_println, phase
+from ..utils.logging import get_logger
 from .mesh import DATA_AXIS, make_mesh
+
+log = get_logger("sharded")
 
 _INF = 2.0
 
@@ -799,36 +802,16 @@ class ShardedArrowSpace:
                              "'auto', 'exact', 'subtile', 'ivf_block', "
                              "or 'certified'")
         if mode == "certified":
-            from ..ops.pallas.ivf_scan import (escalate_uncertified,
-                                               widen_refusals)
             queries_np = np.asarray(queries)
             topk_eff = min(self._params.topk if topk is None
                            else int(topk), self._n_real)
             idx, vals, cert = self.search_batch(
                 queries_np, tau, topk=topk_eff, mode="ivf_block",
                 n_probe=n_probe, certify=True, margin=margin)
-            # Bound-ordered widening before the exact escalation (same
-            # helper as the single-chip path).  n_probe counts LOCAL
-            # clusters per shard here, so the ceilings are per-shard.
-            d = max(1, self.mesh.devices.size)
-            cap = self._ensure_ivf_block_state()[4]
-            local_k = int(self._ivf_block_pad[2].shape[0] // cap) // d
-            n_probe_max = min(local_k,
-                              (self._n_real // d) // max(1, 2 * cap),
-                              n_probe << n_widen)
-            idx, vals, cert = widen_refusals(
-                idx, vals, cert,
-                lambda sel, np2: self.search_batch(
-                    queries_np[sel], tau, topk=topk_eff,
-                    mode="ivf_block", n_probe=np2, certify=True,
-                    margin=margin),
-                topk_eff, n_probe, n_probe_max)
-            return escalate_uncertified(
-                idx, vals, cert,
-                lambda sel: self.search_batch(queries_np[sel], tau,
-                                              topk=topk_eff,
-                                              mode="exact"),
-                topk_eff)
+            out_i, out_v, _rate = self._certified_finalize(
+                queries_np, (idx, vals, cert), tau, topk_eff, n_probe,
+                n_widen, margin)
+            return out_i, out_v
         if mode == "auto":
             per_shard = self._n_real // max(1, self.mesh.devices.size)
             mode = "subtile" if per_shard >= 131_072 else "exact"
@@ -868,6 +851,132 @@ class ShardedArrowSpace:
             mesh=self.mesh, tau_mix=self._tau_mix, n_real=self._n_real,
             rayleigh_normalized=self._rayleigh_normalized)
         return np.asarray(idx), np.asarray(vals)
+
+    def _probe_ceiling(self, n_probe: int, n_widen: int = 0) -> int:
+        """Max useful n_probe — per-shard ceilings: n_probe counts LOCAL
+        clusters per shard in the sharded IVF."""
+        d = max(1, self.mesh.devices.size)
+        cap = self._ensure_ivf_block_state()[4]
+        local_k = int(self._ivf_block_pad[2].shape[0] // cap) // d
+        cap_global = min(local_k,
+                         max(1, (self._n_real // d) // max(1, 2 * cap)))
+        return (min(cap_global, n_probe << n_widen) if n_widen
+                else cap_global)
+
+    def _certified_finalize(self, queries_np, out, tau, topk_eff: int,
+                            n_probe: int, n_widen: int,
+                            margin: float = 0.0):
+        """Widen + escalate a sharded certified ivf_block result to exact
+        results — same ladder semantics as ArrowSpace._certified_finalize
+        (bound-ordered widening unless the batch has COLLAPSED below
+        _WIDEN_MIN_CERT_RATE, then straight exact escalation — widening
+        a collapsed batch re-probes everything every round, the measured
+        ~15x cliff).  Returns (idx, vals, base_cert_rate)."""
+        from ..core.space import _WIDEN_MIN_CERT_RATE
+        from ..ops.pallas.ivf_scan import (escalate_uncertified,
+                                           widen_refusals)
+        idx = np.asarray(out[0])
+        vals = np.asarray(out[1])
+        cert = np.asarray(out[2]).astype(bool)
+        rate0 = float(cert.mean()) if cert.size else 1.0
+        if rate0 >= _WIDEN_MIN_CERT_RATE:
+            n_probe_max = self._probe_ceiling(n_probe, n_widen)
+            idx, vals, cert = widen_refusals(
+                idx, vals, cert,
+                lambda sel, np2: self.search_batch(
+                    queries_np[sel], tau, topk=topk_eff,
+                    mode="ivf_block", n_probe=np2, certify=True,
+                    margin=margin),
+                topk_eff, n_probe, n_probe_max)
+        idx, vals = escalate_uncertified(
+            idx, vals, cert,
+            lambda sel: self.search_batch(queries_np[sel], tau,
+                                          topk=topk_eff, mode="exact"),
+            topk_eff)
+        return idx, vals, rate0
+
+    def serving_stream(self, tau: float, topk: Optional[int] = None,
+                       n_probe: int = 8, n_widen: int = 2,
+                       depth: int = 4, cert_floor: float = 0.35,
+                       floor_patience: int = 2,
+                       fallback_mode: str = "auto",
+                       margin: float = 0.0,
+                       probe_escalations: int = 2):
+        """Pipelined multi-chip certified serving — the sharded
+        counterpart of ArrowSpace.serving_stream, with the same
+        collapse-guardrail ladder (double n_probe up to
+        `probe_escalations` rungs, then degrade to `fallback_mode`).
+        Per-batch results match search_batch(mode="certified") exactly
+        (shared finalize); each in-flight batch finalizes with the
+        probe depth it was dispatched with.  The certificate sync is
+        three host pulls here (idx, vals, cert — started async at
+        dispatch, so at depth >= 2 they overlap device execution)."""
+        from ..serving import CertifiedStream
+
+        topk_eff = min(self._params.topk if topk is None else int(topk),
+                       self._n_real)
+        self._ensure_ivf_block_state()
+        state = {"n_probe": int(n_probe),
+                 "rungs": max(0, int(probe_escalations))}
+
+        def dispatch(queries):
+            np_cur = state["n_probe"]
+            q = jnp.asarray(queries, dtype=self._stored_pad.dtype)
+            (cu, slabs, lam_s, ids, cap, radii, lam_lo, lam_hi,
+             nonempty) = self._ensure_ivf_block_state()
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            out = _sharded_search_ivf_block(
+                cu, slabs, lam_s, ids, q, self._lap_f, self._w_f,
+                self._tau_star, jnp.asarray(tau, dtype=q.dtype),
+                radii, lam_lo, lam_hi, nonempty, margin,
+                topk=topk_eff, cap=cap, n_probe=np_cur, mesh=self.mesh,
+                tau_mix=self._tau_mix,
+                rayleigh_normalized=self._rayleigh_normalized,
+                interpret=interpret, certify=True)
+            for arr in out:
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+            return (np.asarray(queries), out, np_cur)
+
+        def finalize(_queries, boxed):
+            queries_np, out, np_used = boxed
+            return self._certified_finalize(
+                queries_np, out, tau, topk_eff, np_used, n_widen, margin)
+
+        def on_collapse() -> bool:
+            np_cur = state["n_probe"]
+            np_max = self._probe_ceiling(np_cur)
+            if state["rungs"] <= 0 or np_cur >= np_max:
+                return False
+            state["rungs"] -= 1
+            state["n_probe"] = min(2 * np_cur, np_max)
+            log.warning(
+                "sharded certification collapsed at n_probe=%d: "
+                "escalating the probe list to n_probe=%d (%d rung(s) "
+                "left) before any fallback degradation", np_cur,
+                state["n_probe"], state["rungs"])
+            return True
+
+        fb = fb_fin = None
+        if fallback_mode is not None:
+            if fallback_mode not in ("auto", "exact"):
+                raise ValueError("fallback_mode must be 'auto', 'exact', "
+                                 f"or None, got {fallback_mode!r}")
+
+            def fb(queries):
+                return self.search_batch(queries, tau, topk=topk_eff,
+                                         mode=fallback_mode
+                                         if fallback_mode == "exact"
+                                         else "auto")
+
+            def fb_fin(_queries, out):
+                return out
+
+        return CertifiedStream(dispatch, finalize, fallback=fb,
+                               finalize_fallback=fb_fin, depth=depth,
+                               cert_floor=cert_floor,
+                               floor_patience=floor_patience,
+                               on_collapse=on_collapse)
 
     def search_hybrid_batch(self, queries, tau: float,
                             topk: Optional[int] = None):

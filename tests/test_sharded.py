@@ -516,3 +516,56 @@ def test_certified_mode_sharded_is_exact():
     ei, _ = aspace.search_batch(queries, gl, 0.62)
     for r in range(len(queries)):
         assert set(ci[r].tolist()) == set(ei[r].tolist()), r
+
+
+@pytest.mark.slow
+def test_sharded_serving_stream():
+    """Sharded pipelined certified serving: per-batch parity with
+    search_batch(mode="certified"), and the collapse ladder escalates
+    n_probe before degrading to the fallback — results exact on every
+    batch either way."""
+    from pyarrowspace_tpu.parallel import ShardedArrowSpace
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 32))
+    items = np.repeat(base, 50, axis=0) + 0.15 * rng.normal(size=(2000, 32))
+    gp = {"eps": 0.9, "k": 6, "topk": 10, "p": 2.0, "sigma": 0.3}
+    aspace, gl = ArrowSpaceBuilder.build(gp, items)
+    aspace.enable_ivf(n_clusters=40)
+    # 2 shards: the escalation ceiling is ~(n_real/d)/(2*cap) local
+    # probes, which an 8-way split of a 2000-row corpus pins to 1 (no
+    # escalation room at any n_probe -- correct: probing further would
+    # scan most of the shard).
+    sspace = ShardedArrowSpace.from_local(aspace, gl, make_mesh(2))
+    batches = [items[rng.choice(2000, 12, replace=False)] * 1.02
+               for _ in range(4)]
+
+    # Healthy stream: parity with the synchronous certified mode.
+    stream = sspace.serving_stream(0.62, n_probe=4, depth=2)
+    for qb in batches:
+        stream.submit(qb)
+    outs = stream.finish()
+    assert stream.escalated_at == [] and not stream.degraded
+    for qb, (idx, vals, rate) in zip(batches, outs):
+        ci, cv = sspace.search_batch(qb, 0.62, mode="certified", n_probe=4)
+        np.testing.assert_array_equal(idx, ci)
+        np.testing.assert_allclose(vals, cv, rtol=0, atol=0)
+        assert 0.0 <= rate <= 1.0
+
+    # Forced collapse: one escalation rung (1 -> 2 local probes — the
+    # per-shard ceiling at this toy scale is ~(n_real/d)/(2*cap), so
+    # escalation only has room at a shallow starting n_probe), then
+    # degrade; every batch still serves the exact top-k.
+    stream = sspace.serving_stream(0.62, n_probe=1, depth=1,
+                                   cert_floor=1.01, floor_patience=1,
+                                   fallback_mode="exact",
+                                   probe_escalations=1)
+    for qb in batches:
+        stream.submit(qb)
+    outs = stream.finish()
+    assert stream.escalated_at == [0]
+    assert stream.degraded and stream.degraded_at == 1
+    for qb, (idx, _v, _r) in zip(batches, outs):
+        ei, _ = sspace.search_batch(qb, 0.62, mode="exact")
+        for r in range(len(qb)):
+            assert set(idx[r].tolist()) == set(ei[r].tolist()), r
