@@ -421,8 +421,14 @@ def reduce_corpus(x: np.ndarray | jnp.ndarray, seed: int = 42,
     n = x.shape[0]
     rng = np.random.default_rng(seed)
     n_keep = max(2, int(round(n * keep_rate)))
+    # The host-side draw always runs (the rng stream feeds the centroid
+    # init below — skipping it would shift every seeded clustering), but
+    # at keep_rate=1.0 the sorted full draw IS arange, so the device
+    # gather is the identity: skip it — the gathered copy is a +3 GB
+    # HBM spike at 1M x 768, the exact margin that OOMed enable_ivf on
+    # one chip.
     sel = np.sort(rng.choice(n, size=n_keep, replace=False))
-    xs = x[jnp.asarray(sel)]
+    xs = x if n_keep >= n else x[jnp.asarray(sel)]
     msg = (f"reduction: raw-input saved; sampled {n_keep}/{n} "
            f"(keep_rate={keep_rate})")
     dbg_println(msg)
