@@ -59,12 +59,38 @@ def main():
     import jax.numpy as jnp
     from pyarrowspace_tpu import ArrowSpaceBuilder
 
+    def hbm(tag):
+        # Device memory census (OOM forensics at the 1M x 768 shape).
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+            used = ms.get("bytes_in_use", 0) / 2**30
+            lim = ms.get("bytes_limit", 0) / 2**30
+            peak = ms.get("peak_bytes_in_use", 0) / 2**30
+            print(f"# hbm[{tag}]: in_use={used:.2f} GiB "
+                  f"peak={peak:.2f} limit={lim:.2f}", flush=True)
+        except Exception as e:
+            print(f"# hbm[{tag}]: memory_stats unavailable ({e})",
+                  flush=True)
+        live = sorted(jax.live_arrays(), key=lambda a: -a.nbytes)
+        tot = sum(a.nbytes for a in live) / 2**30
+        tops = ", ".join(f"{a.shape}/{a.dtype}={a.nbytes / 2**30:.2f}"
+                         for a in live[:6])
+        print(f"# live[{tag}]: {len(live)} arrays {tot:.2f} GiB; "
+              f"top: {tops}", flush=True)
+
     n = int(os.environ.get("ESC_N", 1_000_000))
     f = int(os.environ.get("ESC_F", 768))
     q_batch = int(os.environ.get("ESC_BATCH", 32768))
     k_mix = int(os.environ.get("ESC_CLUSTERS", 4096))
     n_batches = int(os.environ.get("ESC_BATCHES", 8))
-    gp = {"eps": 1.31, "k": 25, "topk": 15, "p": 2.0, "sigma": 0.535}
+    # normalise=True stores the unit rows (stored IS data_unit — one
+    # corpus copy on device, not two).  Single-chip HBM at this shape:
+    # xu 2.86 GiB + blocked slabs ~6.2 GiB at capacity_factor 1.5; the
+    # normalise=False default adds another 2.86 GiB raw-corpus copy and
+    # the un-threaded factor-2.0 slab (the round-5 bug this bench
+    # caught) was +2 GiB more — together they overflowed the chip.
+    gp = {"eps": 1.31, "k": 25, "topk": 15, "p": 2.0, "sigma": 0.535,
+          "normalise": True}
 
     # Mixture corpus generated ON DEVICE (bench_build_1m recipe).
     key = jax.random.PRNGKey(0)
@@ -76,9 +102,12 @@ def main():
     items.block_until_ready()
     del x, centers, assign_mix
 
+    hbm("pre-build")
     t0 = time.perf_counter()
     aspace, gl = ArrowSpaceBuilder.build(gp, items)
     print(f"# build: {time.perf_counter() - t0:.1f}s", flush=True)
+    del items   # same buffer as aspace._data when passed as a device array
+    hbm("post-build")
     # Free the item-graph ELL (~4 GB at 1M x 768) and the extend state:
     # the serving path reads only gl.params, and corpus + graph + IVF
     # slabs do NOT co-fit in one chip's 16 GB HBM at this shape (a
@@ -88,9 +117,15 @@ def main():
     gl._nbr_idx = jnp.zeros((n, 1), dtype=jnp.int32)   # keeps nnodes
     gl._nbr_w = jnp.zeros((n, 1), dtype=jnp.float32)
     aspace._knn_dist = aspace._knn_idx = None
+    hbm("post-free")
     t0 = time.perf_counter()
     aspace.enable_ivf(n_clusters=k_mix, capacity_factor=1.5)
     print(f"# enable_ivf: {time.perf_counter() - t0:.1f}s", flush=True)
+    hbm("post-enable_ivf")
+    t0 = time.perf_counter()
+    aspace._ensure_ivf_blocked()   # slab build = the OOM site; isolate it
+    print(f"# blocked_ivf: {time.perf_counter() - t0:.1f}s", flush=True)
+    hbm("post-blocked")
 
     # In-distribution query batches (distinct per batch).
     kq = jax.random.PRNGKey(7)

@@ -305,7 +305,8 @@ class ArrowSpace:
         return known[env]
 
     def enable_ivf(self, n_clusters: Optional[int] = None,
-                   capacity_factor: float = 3.0, slab_dtype=None):
+                   capacity_factor: Optional[float] = None, slab_dtype=None,
+                   slab_capacity_factor: Optional[float] = None):
         """Build the IVF routing index for `search_batch(mode="ivf")`.
 
         Reuses the reduction stage's centroids/assignments when the build
@@ -316,8 +317,30 @@ class ArrowSpace:
         the probe DMA bytes — approximate for ivf_block, still EXACT for
         certified serving via the precision-robust rescored certificate).
         Env override ARROWSPACE_IVF_SLABS=bf16|f16|f32 applies when no
-        explicit choice was made here."""
+        explicit choice was made here.
+
+        capacity_factor (default 3.0) sizes the cheap [K, cap] postings
+        table (mode="ivf"); slab_capacity_factor sizes the [K*cap, F]
+        blocked slab array for mode="ivf_block"/"certified" — the
+        HBM-expensive one (slab rows = slab_capacity_factor * n, plus
+        lane rounding).  When None it follows min(2.0, capacity_factor)
+        for an EXPLICIT capacity_factor (so a lean 1.5 — at 1M x 768 the
+        factor-2.0 slab is +2 GiB and overflows one chip — reaches the
+        slabs), and otherwise keeps the space's current slab factor
+        (e.g. one restored by io.load_index), defaulting to 2.0."""
         from ..ops.ivf import build_ivf
+
+        if slab_capacity_factor is not None:
+            slab_cf = float(slab_capacity_factor)
+        elif capacity_factor is not None:
+            slab_cf = min(2.0, float(capacity_factor))
+        else:
+            slab_cf = float(getattr(self, "_ivf_cap_factor", None) or 2.0)
+        if capacity_factor is None:
+            capacity_factor = 3.0
+        if slab_cf != getattr(self, "_ivf_cap_factor", None):
+            self._ivf_blocked = None   # slab layout follows the factor
+        self._ivf_cap_factor = slab_cf
 
         if slab_dtype is not None:
             if jnp.dtype(slab_dtype) != getattr(
@@ -344,7 +367,8 @@ class ArrowSpace:
             cents_u = unit_normalize(jnp.asarray(red.centroids,
                                                  dtype=self._data.dtype))
             self._ivf_cap_plan = planned_slab_cap(self.nitems,
-                                                  int(cents_u.shape[0]))
+                                                  int(cents_u.shape[0]),
+                                                  capacity_factor=slab_cf)
             self._centroids, self._assignments = lloyd_tighten(
                 self._data_unit, cents_u, max_size=self._ivf_cap_plan)
             self._ivf_blocked = None   # slab layout follows the clustering
@@ -372,6 +396,7 @@ class ArrowSpace:
             self._ivf_blocked = build_blocked_ivf(
                 self._data_unit, self._lambdas, self._centroids,
                 self._assignments,
+                capacity_factor=getattr(self, "_ivf_cap_factor", 2.0),
                 min_cap=getattr(self, "_ivf_cap_plan", None),
                 slab_dtype=self._resolve_slab_dtype())
         return self._ivf_blocked

@@ -39,6 +39,12 @@ def save_index(path: str, aspace: ArrowSpace, gl: GraphLaplacian) -> None:
         "rayleigh_normalized": aspace._rayleigh_normalized,
         "tau_mix": aspace._tau_mix,
         "n_dropped": gl.n_dropped_edges,
+        # Blocked-slab layout plan (enable_ivf): a loaded index must
+        # rebuild the SAME slab layout — min_cap keeps the size-capped
+        # clustering's spill-free guarantee, the factor keeps the slab
+        # HBM footprint the deployment was sized for.
+        "ivf_cap_plan": getattr(aspace, "_ivf_cap_plan", None),
+        "ivf_cap_factor": getattr(aspace, "_ivf_cap_factor", None),
     }
     arrays = {
         "data": np.asarray(aspace._data),
@@ -122,5 +128,9 @@ def load_index(path: str) -> tuple[ArrowSpace, GraphLaplacian]:
             node_dirichlet=jnp.asarray(z["em_dirichlet"]),
             node_centroid=jnp.asarray(z["em_centroid"]),
             candidate_m=int(z["em_candidate_m"][0]))
+    if manifest.get("ivf_cap_plan") is not None:
+        aspace._ivf_cap_plan = int(manifest["ivf_cap_plan"])
+    if manifest.get("ivf_cap_factor") is not None:
+        aspace._ivf_cap_factor = float(manifest["ivf_cap_factor"])
     dbg_println(f"loaded index from {path}: nitems={aspace.nitems}")
     return aspace, gl

@@ -628,7 +628,8 @@ class ShardedArrowSpace:
     def __init__(self, mesh: Mesh, xu_pad, stored_pad, lambdas_pad, e_pad,
                  lap_f, w_f, tau_star, params: GraphParams, n_real: int,
                  tau_mix: float = TAU_MIX, rayleigh_normalized: bool = False,
-                 centroids=None, assignments=None, e_un_pad=None):
+                 centroids=None, assignments=None, e_un_pad=None,
+                 ivf_cap_plan=None, ivf_cap_factor=None):
         self.mesh = mesh
         self._xu_pad = xu_pad
         self._stored_pad = stored_pad
@@ -647,6 +648,11 @@ class ShardedArrowSpace:
         self._rayleigh_normalized = rayleigh_normalized
         self._centroids = centroids
         self._assignments = assignments
+        # Slab layout plan from the local space's size-capped clustering
+        # (enable_ivf): min_cap keeps the spill-free guarantee, the factor
+        # keeps the sharded slab HBM budget equal to the single-chip one.
+        self._ivf_cap_plan = ivf_cap_plan
+        self._ivf_cap_factor = ivf_cap_factor
 
     @classmethod
     def from_local(cls, aspace, gl, mesh: Optional[Mesh] = None
@@ -679,13 +685,15 @@ class ShardedArrowSpace:
                    centroids=aspace._centroids,
                    assignments=aspace._assignments,
                    e_un_pad=(shard(aspace._energies_raw(), pad)
-                             if aspace._rayleigh_normalized else None))
+                             if aspace._rayleigh_normalized else None),
+                   ivf_cap_plan=getattr(aspace, "_ivf_cap_plan", None),
+                   ivf_cap_factor=getattr(aspace, "_ivf_cap_factor", None))
 
     def to_local(self):
         """Materialize back to a single-chip ArrowSpace (gathers shards)."""
         from ..core.space import ArrowSpace
         n = self._n_real
-        return ArrowSpace._from_build(
+        out = ArrowSpace._from_build(
             data=jnp.asarray(np.asarray(self._stored_pad)[:n]),
             data_unit=jnp.asarray(np.asarray(self._xu_pad)[:n]),
             lambdas=jnp.asarray(np.asarray(self._lambdas_pad)[:n]),
@@ -699,6 +707,11 @@ class ShardedArrowSpace:
             rayleigh_normalized=self._rayleigh_normalized,
             tau_mix=self._tau_mix, centroids=self._centroids,
             assignments=self._assignments)
+        if self._ivf_cap_plan is not None:
+            out._ivf_cap_plan = self._ivf_cap_plan
+        if self._ivf_cap_factor is not None:
+            out._ivf_cap_factor = self._ivf_cap_factor
+        return out
 
     @property
     def nitems(self) -> int:
@@ -764,7 +777,10 @@ class ShardedArrowSpace:
             ivf = build_blocked_ivf(
                 self._xu_pad[: self._n_real].astype(jnp.float32),
                 self._lambdas_pad[: self._n_real].astype(jnp.float32),
-                cents, np.asarray(self._assignments))
+                cents, np.asarray(self._assignments),
+                capacity_factor=getattr(self, "_ivf_cap_factor", None)
+                or 2.0,
+                min_cap=getattr(self, "_ivf_cap_plan", None))
             row = NamedSharding(self.mesh, P(DATA_AXIS))
             self._ivf_block_pad = (
                 jax.device_put(ivf.centroids_unit, row),

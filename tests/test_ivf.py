@@ -595,3 +595,48 @@ def test_certification_rate_on_mixture():
     assert cert.mean() >= 0.85, cert.mean()
     for i in np.flatnonzero(cert):
         assert list(idx[i]) == list(ei[i]), i
+
+
+def test_slab_capacity_factor_threads_to_blocked_layout(tmp_path):
+    """enable_ivf's capacity factor must reach the blocked-slab layout —
+    the [K*cap, F] slab array is the HBM-expensive one (at 1M x 768 the
+    silent 2.0 default was +2 GiB over the requested 1.5 and overflowed
+    one chip), and a loaded index must rebuild the SAME layout."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 16)).astype(np.float32) * 4.0
+    items = (np.repeat(centers, 256, axis=0)
+             + 0.2 * rng.normal(size=(2048, 16)).astype(np.float32))
+    aspace, gl = ArrowSpaceBuilder.build(GP, items)
+
+    aspace.enable_ivf(n_clusters=8, capacity_factor=1.5)
+    lean = aspace._ensure_ivf_blocked()
+    k_final = aspace._centroids.shape[0]
+    # n/k = 256 puts the two factors in different 128-lane buckets:
+    # ceil(1.5*2048/8)=384 vs ceil(2.0*2048/8)=512.
+    assert aspace._ivf_cap_factor == 1.5
+    assert lean.cap < 512, lean.cap
+    assert lean.cap >= int(np.ceil(1.5 * 2048 / k_final))
+
+    # Factor change without reclustering: the blocked layout rebuilds,
+    # but min_cap (the tightening's size cap) keeps spill-freedom.
+    aspace.enable_ivf(capacity_factor=2.0)
+    fat = aspace._ensure_ivf_blocked()
+    assert fat.cap >= lean.cap
+    assert fat.cap == max(512, aspace._ivf_cap_plan), fat.cap
+
+    # Both layouts partition the corpus: every id exactly once.
+    for b in (lean, fat):
+        ids = np.asarray(b.slab_ids)
+        ids = ids[ids >= 0]
+        assert sorted(ids.tolist()) == list(range(2048))
+
+    # Save/load round-trips the layout plan, so the rebuilt slabs match.
+    aspace.enable_ivf(n_clusters=8, capacity_factor=1.5)
+    from pyarrowspace_tpu.io import load_index, save_index
+    p = str(tmp_path / "idx.npz")
+    save_index(p, aspace, gl)
+    loaded, _ = load_index(p)
+    assert getattr(loaded, "_ivf_cap_plan", None) == aspace._ivf_cap_plan
+    assert getattr(loaded, "_ivf_cap_factor", None) == 1.5
+    lb = loaded._ensure_ivf_blocked()
+    assert lb.cap == aspace._ensure_ivf_blocked().cap

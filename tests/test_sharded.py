@@ -148,6 +148,33 @@ def test_from_local_to_local_roundtrip(tmp_path):
                                                               gl, 0.62)
 
 
+def test_from_local_forwards_slab_layout_plan(tmp_path):
+    """The local space's blocked-slab layout plan (enable_ivf size-capped
+    clustering: min_cap + capacity factor) must ride save -> load ->
+    from_local -> to_local, so every deployment path rebuilds the same
+    spill-free slab layout instead of the fat 2.0 default."""
+    from pyarrowspace_tpu.io import load_index, save_index
+    from pyarrowspace_tpu.parallel import ShardedArrowSpace, make_mesh
+
+    rng = np.random.default_rng(56)
+    items = rng.normal(size=(256, 24)) + 0.3
+    aspace, gl = ArrowSpaceBuilder.build(GP_DICT, items)
+    aspace.enable_ivf(n_clusters=8, capacity_factor=1.5)
+    assert aspace._ivf_cap_factor == 1.5
+    path = str(tmp_path / "idx.npz")
+    save_index(path, aspace, gl)
+    loaded, gl2 = load_index(path)
+
+    sspace = ShardedArrowSpace.from_local(loaded, gl2, make_mesh(4))
+    assert sspace._ivf_cap_plan == aspace._ivf_cap_plan
+    assert sspace._ivf_cap_factor == 1.5
+    state = sspace._ensure_ivf_block_state()
+    assert state[4] == aspace._ensure_ivf_blocked().cap  # same slab cap
+    back = sspace.to_local()
+    assert back._ivf_cap_plan == aspace._ivf_cap_plan
+    assert back._ivf_cap_factor == 1.5
+
+
 @pytest.mark.slow
 def test_sharded_reduction_parity_large():
     """>=4096 items: the sharded build must take the same reduction path as
